@@ -1,0 +1,36 @@
+"""Test harness: hermetic, CPU-only, 8 virtual devices.
+
+Multi-chip sharding paths are validated on a virtual 8-device CPU mesh
+(XLA_FLAGS host-platform device count), per the design brief. This must run
+before jax initializes its backends, hence env mutation at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    import pathlib
+
+    p = pathlib.Path(REFERENCE_ROOT)
+    if not p.exists():
+        pytest.skip("reference artifacts not mounted")
+    return p
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
