@@ -167,22 +167,25 @@ class GBDTConfig:
 
     @staticmethod
     def stack_tab_like() -> "GBDTConfig":
-        """Final-fusion tabular stream recipe (reference: stack_blend.py:134-147)."""
+        """Final-fusion tabular stream recipe (reference: stack_blend.py:134-147:
+        lr .03, 700 est, 31 leaves, subsample/colsample .85, min_data_in_leaf 5,
+        class_weight balanced, seed 42)."""
         return GBDTConfig(
             objective="binary_logistic",
             n_estimators=700,
             learning_rate=0.03,
             max_depth=-1,
             num_leaves=31,
-            min_child_weight=1e-3,
+            min_child_weight=1.0,
             gamma=0.0,
-            subsample=1.0,
-            colsample=1.0,
+            subsample=0.85,
+            colsample=0.85,
             reg_lambda=0.0,
             reg_alpha=0.0,
             early_stopping_rounds=0,
             class_balanced=True,
             grow_policy="leafwise",
+            consensus_power=0.0,
         )
 
 
