@@ -1,0 +1,441 @@
+"""Batched, key-driven augmentation suite.
+
+TPU-first replacement for the albumentations pipelines of
+src/preprocessing/augment_records.py:
+- ``legacy`` preset  (:94-130 _legacy_compose): HFlip .5, VFlip .05,
+  ShiftScaleRotate (.05/.10/12°) p.9, Perspective .02-.05 p.2,
+  OneOf{CLAHE(2.0), BrightnessContrast ±.15, HSV 5/12/8} p.5,
+  GaussNoise var 5-15 p.2, MotionBlur(3-5) p.1, Elastic α10 σ5 p.1,
+  CoarseDropout 1 hole size/24 p.1;
+- ``ten`` preset     (:216-332 fixed_ten_variants): one fixed transform per
+  aug_idx — hflip, vflip, translate 3-7%, scale ±10%, rotate ±25°,
+  brightness/contrast, HSV, noise, motion blur, elastic;
+- ``simple`` preset  (:170-213): gentler PIL-approximation set;
+- ``none``.
+
+Design: ALL geometric members of a pipeline are composed into ONE per-sample
+3×3 homography and applied as a single bilinear-gather warp; photometric
+members are fused elementwise ops whose parameters collapse to no-ops when
+their probability gate fails — so batch shapes stay static and the whole
+preset is one jit-compiled function ``f(batch, keys, aug_idx) -> batch``.
+Randomness is derived per (seed, origin_id, aug_idx) via
+mmtrs_tpu.utils.rng.key_for_origin, mirroring the reference's deterministic
+per-image streams (augment_records.py:476). Parity with albumentations is
+distributional, not bit-level (SURVEY.md §7 hard-part 3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mmtrs_tpu.ops.clahe import clahe_rgb
+from mmtrs_tpu.ops.color import hsv_to_rgb, rgb_to_hsv
+from mmtrs_tpu.ops.warp import (
+    hflip3,
+    identity3,
+    rotate3,
+    scale3,
+    translate3,
+    vflip3,
+    warp_affine,
+    sample_bilinear,
+)
+
+# ---------------------------------------------------------------------------
+# Photometric primitives (batched, no-op-parameterizable)
+# ---------------------------------------------------------------------------
+
+
+def brightness_contrast(imgs, brightness, contrast):
+    """albumentations RandomBrightnessContrast semantics (brightness_by_max):
+    out = img·(1+c) + b·255. brightness/contrast: [B] per-sample."""
+    b = brightness[:, None, None, None]
+    c = contrast[:, None, None, None]
+    return jnp.clip(imgs * (1.0 + c) + b * 255.0, 0.0, 255.0)
+
+
+def hsv_shift(imgs, dh, ds, dv):
+    """HueSaturationValue: shifts in OpenCV HSV units (H∈[0,180))."""
+    hsv = rgb_to_hsv(imgs)
+    h = (hsv[..., 0] + dh[:, None, None]) % 180.0
+    s = jnp.clip(hsv[..., 1] + ds[:, None, None], 0.0, 255.0)
+    v = jnp.clip(hsv[..., 2] + dv[:, None, None], 0.0, 255.0)
+    return hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+
+
+def gauss_noise(imgs, keys, var):
+    """Additive white gaussian noise, per-channel, var: [B]."""
+    def one(img, key, v):
+        return img + jax.random.normal(key, img.shape) * jnp.sqrt(v)
+
+    return jnp.clip(jax.vmap(one)(imgs, keys, var), 0.0, 255.0)
+
+
+def _separable_blur(imgs, k1d):
+    """Depthwise separable blur with a 1-D kernel (same padding)."""
+    k = k1d / jnp.sum(k1d)
+    r = (k.shape[0] - 1) // 2
+    x = jnp.pad(imgs, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
+    out = sum(
+        x[:, i : i + imgs.shape[1]] * k[i] for i in range(k.shape[0])
+    )
+    x = jnp.pad(out, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    out = sum(
+        x[:, :, i : i + imgs.shape[2]] * k[i] for i in range(k.shape[0])
+    )
+    return out
+
+
+def gaussian_blur3(imgs):
+    """3×3 Gaussian (cv2 default σ for k=3)."""
+    return _separable_blur(imgs, jnp.array([0.25, 0.5, 0.25], jnp.float32))
+
+
+def motion_blur(imgs, keys, ksize: int = 5):
+    """Directional line blur: per-sample random angle, k-tap line kernel
+    splatted bilinearly onto a k×k grid (MotionBlur(3-5) analog)."""
+    k = ksize
+    r = (k - 1) / 2.0
+
+    def kern(key):
+        theta = jax.random.uniform(key, (), minval=0.0, maxval=jnp.pi)
+        t = jnp.linspace(-r, r, k)
+        px = t * jnp.cos(theta) + r
+        py = t * jnp.sin(theta) + r
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        fx = px - x0
+        fy = py - y0
+        kernel = jnp.zeros((k + 1, k + 1))
+        kernel = kernel.at[y0, x0].add((1 - fy) * (1 - fx))
+        kernel = kernel.at[y0, x0 + 1].add((1 - fy) * fx)
+        kernel = kernel.at[y0 + 1, x0].add(fy * (1 - fx))
+        kernel = kernel.at[y0 + 1, x0 + 1].add(fy * fx)
+        kernel = kernel[:k, :k]
+        return kernel / jnp.sum(kernel)
+
+    kernels = jax.vmap(kern)(keys)  # [B, k, k]
+
+    def one(img, kernel):
+        x = jnp.pad(
+            img,
+            (((k - 1) // 2, k // 2), ((k - 1) // 2, k // 2), (0, 0)),
+            mode="edge",
+        )
+        out = jnp.zeros_like(img)
+        for dy in range(k):
+            for dx in range(k):
+                out = out + x[dy : dy + img.shape[0], dx : dx + img.shape[1]] * kernel[dy, dx]
+        return out
+
+    return jax.vmap(one)(imgs, kernels)
+
+
+def _gauss_kernel1d(sigma: float, radius: int):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x**2) / (2 * sigma**2))
+    return k / jnp.sum(k)
+
+
+def elastic(imgs, keys, alpha: float = 10.0, sigma: float = 5.0):
+    """ElasticTransform(α, σ): uniform(-1,1) displacement fields smoothed by
+    a Gaussian then scaled by α; constant-border warp."""
+    B, H, W, C = imgs.shape
+    radius = int(3 * sigma)
+    k1d = _gauss_kernel1d(sigma, radius)
+
+    def smooth(f):
+        x = jnp.pad(f, ((radius, radius), (0, 0)), mode="edge")
+        f = sum(x[i : i + H] * k1d[i] for i in range(2 * radius + 1))
+        x = jnp.pad(f, ((0, 0), (radius, radius)), mode="edge")
+        return sum(x[:, i : i + W] * k1d[i] for i in range(2 * radius + 1))
+
+    def one(img, key):
+        k1, k2 = jax.random.split(key)
+        dx = smooth(jax.random.uniform(k1, (H, W), minval=-1.0, maxval=1.0)) * alpha
+        dy = smooth(jax.random.uniform(k2, (H, W), minval=-1.0, maxval=1.0)) * alpha
+        ys = jnp.arange(H, dtype=jnp.float32)[:, None] + dy
+        xs = jnp.arange(W, dtype=jnp.float32)[None, :] + dx
+        return sample_bilinear(img, ys, xs, border="constant", cval=0.0)
+
+    return jax.vmap(one)(imgs, keys)
+
+
+def coarse_dropout(imgs, keys, hole: int):
+    """CoarseDropout(max_holes=1, size=hole), zero fill."""
+    B, H, W, C = imgs.shape
+
+    def one(img, key):
+        ky, kx = jax.random.split(key)
+        y0 = jax.random.randint(ky, (), 0, H - hole)
+        x0 = jax.random.randint(kx, (), 0, W - hole)
+        yy = jnp.arange(H)[:, None]
+        xx = jnp.arange(W)[None, :]
+        mask = (yy >= y0) & (yy < y0 + hole) & (xx >= x0) & (xx < x0 + hole)
+        return jnp.where(mask[..., None], 0.0, img)
+
+    return jax.vmap(one)(imgs, keys)
+
+
+# ---------------------------------------------------------------------------
+# Geometric composition
+# ---------------------------------------------------------------------------
+
+
+def perspective3(key, H, W, scale_lo=0.02, scale_hi=0.05):
+    """Random 4-corner-jitter homography (A.Perspective analog): each corner
+    moves by N(0, s)·side with s ~ U(lo, hi); solved by DLT."""
+    ks, kj = jax.random.split(key)
+    s = jax.random.uniform(ks, (), minval=scale_lo, maxval=scale_hi)
+    jitter = jax.random.normal(kj, (4, 2)) * s * jnp.array([W, H])
+    src = jnp.array(
+        [[0.0, 0.0], [W - 1.0, 0.0], [W - 1.0, H - 1.0], [0.0, H - 1.0]]
+    )
+    dst = src + jitter
+    # DLT: solve 8×8 for h = [h11..h32]
+    def rows(p, q):
+        x, y = p
+        u, v = q
+        return jnp.array(
+            [
+                [x, y, 1, 0, 0, 0, -u * x, -u * y],
+                [0, 0, 0, x, y, 1, -v * x, -v * y],
+            ]
+        )
+
+    A = jnp.concatenate([rows(src[i], dst[i]) for i in range(4)], axis=0)
+    b = dst.reshape(-1)
+    h = jnp.linalg.solve(A, b)
+    return jnp.concatenate([h, jnp.ones((1,))]).reshape(3, 3)
+
+
+def ssr3(key, H, W, shift=0.05, scale=0.10, rot=12.0):
+    """ShiftScaleRotate: one rotation+scale about centre plus translation."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ang = jax.random.uniform(k1, (), minval=-rot, maxval=rot)
+    sc = 1.0 + jax.random.uniform(k2, (), minval=-scale, maxval=scale)
+    tx = jax.random.uniform(k3, (), minval=-shift, maxval=shift) * W
+    ty = jax.random.uniform(k4, (), minval=-shift, maxval=shift) * H
+    c = ((W - 1) / 2.0, (H - 1) / 2.0)
+    from mmtrs_tpu.ops.warp import _to_3x3, rotation_matrix
+
+    m = _to_3x3(rotation_matrix(ang, c, sc))
+    return translate3(tx, ty) @ m
+
+
+def _gate(key, p):
+    return jax.random.uniform(key) < p
+
+
+# ---------------------------------------------------------------------------
+# Presets
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("img_size",))
+def augment_legacy(imgs: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512):
+    """The ``legacy`` albumentations pipeline as one fused batch op."""
+    B, H, W, C = imgs.shape
+
+    def geo_matrix(key):
+        kh, kv, ks, kp, kg = jax.random.split(key, 5)
+        m = identity3()
+        m = jnp.where(_gate(kh, 0.5), hflip3(float(W)) @ m, m)
+        m = jnp.where(_gate(kv, 0.05), vflip3(float(H)) @ m, m)
+        m = jnp.where(_gate(jax.random.fold_in(ks, 1), 0.9), ssr3(ks, H, W) @ m, m)
+        m = jnp.where(
+            _gate(jax.random.fold_in(kp, 1), 0.2), perspective3(kp, H, W) @ m, m
+        )
+        return m
+
+    geo_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+    mats = jax.vmap(geo_matrix)(geo_keys)
+    out = warp_affine(imgs, mats, border="constant", cval=0.0, perspective=True)
+
+    # OneOf photometrics p=.5
+    def phot_params(key):
+        kg, kc, kb, kcon, kh1, kh2, kh3 = jax.random.split(key, 7)
+        on = _gate(kg, 0.5)
+        which = jax.random.randint(kc, (), 0, 3)
+        b = jnp.where(on & (which == 1),
+                      jax.random.uniform(kb, (), minval=-0.15, maxval=0.15), 0.0)
+        c = jnp.where(on & (which == 1),
+                      jax.random.uniform(kcon, (), minval=-0.15, maxval=0.15), 0.0)
+        dh = jnp.where(on & (which == 2),
+                       jax.random.uniform(kh1, (), minval=-5.0, maxval=5.0), 0.0)
+        ds = jnp.where(on & (which == 2),
+                       jax.random.uniform(kh2, (), minval=-12.0, maxval=12.0), 0.0)
+        dv = jnp.where(on & (which == 2),
+                       jax.random.uniform(kh3, (), minval=-8.0, maxval=8.0), 0.0)
+        use_clahe = on & (which == 0)
+        return b, c, dh, ds, dv, use_clahe
+
+    pk = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+    b, c, dh, ds, dv, use_clahe = jax.vmap(phot_params)(pk)
+    out = brightness_contrast(out, b, c)
+    out = hsv_shift(out, dh, ds, dv)
+    clahed = clahe_rgb(out, clip=2.0, tiles=(8, 8))
+    out = jnp.where(use_clahe[:, None, None, None], clahed, out)
+
+    # noise p=.2
+    nk = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+    var = jax.vmap(
+        lambda k: jnp.where(
+            _gate(jax.random.fold_in(k, 0), 0.2),
+            jax.random.uniform(jax.random.fold_in(k, 1), (), minval=5.0, maxval=15.0),
+            0.0,
+        )
+    )(nk)
+    out = gauss_noise(out, nk, var)
+
+    # motion blur p=.1
+    bk = jax.vmap(lambda k: jax.random.fold_in(k, 3))(keys)
+    blur_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(bk)
+    blurred = motion_blur(out, bk, ksize=5)
+    out = jnp.where(blur_on[:, None, None, None], blurred, out)
+
+    # elastic p=.1
+    ek = jax.vmap(lambda k: jax.random.fold_in(k, 4))(keys)
+    el_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(ek)
+    warped = elastic(out, ek, alpha=10.0, sigma=5.0)
+    out = jnp.where(el_on[:, None, None, None], warped, out)
+
+    # coarse dropout p=.1
+    dk = jax.vmap(lambda k: jax.random.fold_in(k, 5))(keys)
+    dr_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(dk)
+    dropped = coarse_dropout(out, dk, hole=max(1, img_size // 24))
+    out = jnp.where(dr_on[:, None, None, None], dropped, out)
+    return jnp.clip(out, 0.0, 255.0)
+
+
+@jax.jit
+def augment_ten(imgs: jnp.ndarray, keys: jnp.ndarray, aug_idx: jnp.ndarray):
+    """The ``ten`` preset: variant k = aug_idx % 10 per sample
+    (fixed_ten_variants, augment_records.py:216-332)."""
+    B, H, W, C = imgs.shape
+    which = jnp.asarray(aug_idx) % 10
+
+    # geometric variants 0-4 as matrices (identity for 5-9)
+    def geo(key, w):
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        tx = (
+            jax.random.uniform(k1, (), minval=0.03, maxval=0.07)
+            * jnp.where(jax.random.bernoulli(k2), 1.0, -1.0) * W
+        )
+        ty = (
+            jax.random.uniform(k3, (), minval=0.03, maxval=0.07)
+            * jnp.where(jax.random.bernoulli(jax.random.fold_in(k2, 1)), 1.0, -1.0) * H
+        )
+        sc = jax.random.uniform(k4, (), minval=0.9, maxval=1.1)
+        ang = jax.random.uniform(k5, (), minval=-25.0, maxval=25.0)
+        c = ((W - 1) / 2.0, (H - 1) / 2.0)
+        mats = jnp.stack(
+            [
+                hflip3(float(W)),
+                vflip3(float(H)),
+                translate3(tx, ty),
+                scale3(sc, sc, c),
+                rotate3(ang, c),
+            ]
+        )
+        return jnp.where(w < 5, mats[jnp.minimum(w, 4)], identity3())
+
+    mats = jax.vmap(geo)(keys, which)
+    out = warp_affine(imgs, mats, border="constant", cval=0.0)
+
+    # photometric variants 5-9
+    def phot_params(key, w):
+        kb, kc, kh1, kh2, kh3, kv = jax.random.split(key, 6)
+        b = jnp.where(w == 5, jax.random.uniform(kb, (), minval=-0.15, maxval=0.15), 0.0)
+        c = jnp.where(w == 5, jax.random.uniform(kc, (), minval=-0.15, maxval=0.15), 0.0)
+        dh = jnp.where(w == 6, jax.random.uniform(kh1, (), minval=-5.0, maxval=5.0), 0.0)
+        ds = jnp.where(w == 6, jax.random.uniform(kh2, (), minval=-12.0, maxval=12.0), 0.0)
+        dv = jnp.where(w == 6, jax.random.uniform(kh3, (), minval=-8.0, maxval=8.0), 0.0)
+        var = jnp.where(w == 7, jax.random.uniform(kv, (), minval=5.0, maxval=15.0), 0.0)
+        return b, c, dh, ds, dv, var
+
+    b, c, dh, ds, dv, var = jax.vmap(phot_params)(keys, which)
+    out = brightness_contrast(out, b, c)
+    out = hsv_shift(out, dh, ds, dv)
+    out = gauss_noise(out, jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys), var)
+
+    blurred = motion_blur(out, jax.vmap(lambda k: jax.random.fold_in(k, 8))(keys), 5)
+    out = jnp.where((which == 8)[:, None, None, None], blurred, out)
+
+    warped = elastic(
+        out, jax.vmap(lambda k: jax.random.fold_in(k, 9))(keys), alpha=10.0, sigma=5.0
+    )
+    out = jnp.where((which == 9)[:, None, None, None], warped, out)
+    return jnp.clip(out, 0.0, 255.0)
+
+
+@jax.jit
+def augment_simple(imgs: jnp.ndarray, keys: jnp.ndarray, aug_idx: jnp.ndarray):
+    """PIL-approximation fallback set (augment_records.py:170-213), selected
+    by aug_idx % 10: 0 hflip, 1 vflip, 2 translate 3-7%, 3 scale ±10%,
+    4 rotate ±25°, 5 brightness/contrast, 6 color, 7 noise σ8, 8 gaussian
+    blur, 9 crop(pad 2-6)+resize ≈ centre zoom."""
+    B, H, W, C = imgs.shape
+    which = jnp.asarray(aug_idx) % 10
+
+    def geo(key, w):
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        tx = jax.random.uniform(k1, (), minval=-0.07, maxval=0.07) * W
+        ty = jax.random.uniform(k2, (), minval=-0.07, maxval=0.07) * H
+        sc = jax.random.uniform(k3, (), minval=0.9, maxval=1.1)
+        ang = jax.random.uniform(k4, (), minval=-25.0, maxval=25.0)
+        pad = jax.random.randint(k5, (), 2, 7).astype(jnp.float32)
+        zoom = W / (W - 2.0 * pad)
+        c = ((W - 1) / 2.0, (H - 1) / 2.0)
+        mats = jnp.stack(
+            [
+                hflip3(float(W)),
+                vflip3(float(H)),
+                translate3(tx, ty),
+                scale3(sc, sc, c),
+                rotate3(ang, c),
+                identity3(),  # 5 brightness/contrast
+                identity3(),  # 6 color
+                identity3(),  # 7 noise
+                identity3(),  # 8 blur
+                scale3(zoom, zoom, c),  # 9 crop+resize
+            ]
+        )
+        return mats[w]
+
+    mats = jax.vmap(geo)(keys, which)
+    out = warp_affine(imgs, mats, border="constant", cval=0.0)
+
+    def phot_params(key, w):
+        kb, kc, kcol = jax.random.split(key, 3)
+        b = jnp.where(w == 5, jax.random.uniform(kb, (), minval=-0.1, maxval=0.1), 0.0)
+        c = jnp.where(w == 5, jax.random.uniform(kc, (), minval=-0.1, maxval=0.1), 0.0)
+        ds = jnp.where(w == 6, jax.random.uniform(kcol, (), minval=-25.0, maxval=25.0), 0.0)
+        var = jnp.where(w == 7, 64.0, 0.0)  # σ=8 noise
+        return b, c, ds, var
+
+    b, c, ds, var = jax.vmap(phot_params)(keys, which)
+    out = brightness_contrast(out, b, c)
+    out = hsv_shift(out, jnp.zeros_like(ds), ds, jnp.zeros_like(ds))
+    out = gauss_noise(out, jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys), var)
+    blurred = gaussian_blur3(out)
+    out = jnp.where((which == 8)[:, None, None, None], blurred, out)
+    return jnp.clip(out, 0.0, 255.0)
+
+
+def augment_batch(imgs, keys, preset: str, aug_idx=None, img_size: int = 512):
+    """Dispatch by preset name (get_augmenter parity, augment_records.py:335-362)."""
+    if preset == "none":
+        return imgs
+    if preset == "legacy":
+        return augment_legacy(imgs, keys, img_size=img_size)
+    if preset == "ten":
+        assert aug_idx is not None
+        return augment_ten(imgs, keys, jnp.asarray(aug_idx))
+    if preset == "simple":
+        assert aug_idx is not None
+        return augment_simple(imgs, keys, jnp.asarray(aug_idx))
+    raise ValueError(f"unknown preset: {preset}")

@@ -1,0 +1,171 @@
+"""Fused Pallas TPU kernels for CLAHE.
+
+Semantics identical to the XLA reference implementation in
+mmtrs_tpu.ops.clahe (the functional equivalent of cv2.createCLAHE(3.0, (8,8))
+on the LAB L channel — normalise.py:10-16); tests assert elementwise
+equality against it.
+
+Layout: images are pre-tiled host-side to ``[B, ty·tx, 1, th·tw]`` (one XLA
+transpose); in-kernel the only reshape is (1, area)→(area, 1), one of the
+few shape-casts Mosaic supports (lane→sublane roll-up).
+
+Kernel 1 (``_hist_lut_kernel``), grid (B, n_tiles):
+    one tile's pixels [th·tw, 1] compare-sum against the 256-bin iota (VPU)
+    → histogram; clip → even excess redistribution → prefix sum via
+    log-step roll-adds (no Mosaic cumsum) → LUT [256].
+
+Kernel 2 (``_apply_kernel``), grid (B, n_tiles):
+    CLAHE's per-pixel "gather from 4 neighbouring tile LUTs and bilinear
+    blend" recast as ONE MXU matmul per tile: the 9 candidate neighbour LUTs
+    (3×3 clamped window) form a [256, 9] matrix W; the tile one-hot-encodes
+    to [th·tw, 256]; ``onehot @ W`` evaluates every pixel under every
+    candidate LUT and bilinear weights (zero outside each pixel's quadrant)
+    combine them. No gathers — TPU has no fast arbitrary gather, but it has
+    a very fast MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_BINS = 256
+
+
+def _prefix_sum_lanes(x):
+    """Inclusive prefix sum along the lane axis of [1, N_BINS]."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N_BINS), 1)
+    s = 1
+    while s < N_BINS:
+        x = x + jnp.where(lane >= s, pltpu.roll(x, s, axis=1), 0.0)
+        s *= 2
+    return x
+
+
+def _hist_lut_kernel(pix_ref, lut_ref, *, area, clip):
+    limit = max(int(clip * area / N_BINS), 1)
+    pix = pix_ref[0, 0].reshape(area, 1)  # [area, 1] int32
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, N_BINS), 1)
+    hist = jnp.sum((pix == bins).astype(jnp.float32), axis=0, keepdims=True)
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0))
+    hist = jnp.minimum(hist, float(limit)) + excess / N_BINS
+    cdf = _prefix_sum_lanes(hist)
+    lut_ref[0, 0, 0, :] = jnp.clip(
+        jnp.round(cdf[0] * ((N_BINS - 1) / area)), 0, N_BINS - 1
+    )
+
+
+def _axis_weights(pos, tile_idx, tile_size, n_tiles):
+    """[area, 3] bilinear weights over the 3 candidate neighbour tiles.
+
+    pos: [area, 1] float local coordinate along this axis."""
+    g = (tile_idx * tile_size + pos + 0.5) / tile_size - 0.5
+    t0 = jnp.clip(jnp.floor(g), 0, n_tiles - 1)
+    t1 = jnp.minimum(t0 + 1, n_tiles - 1)
+    w1 = jnp.clip(g - t0, 0.0, 1.0)
+    d0 = (t0 - (tile_idx - 1)).astype(jnp.int32)  # ∈ {0,1,2}
+    d1 = (t1 - (tile_idx - 1)).astype(jnp.int32)
+    ds = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+    return (d0 == ds) * (1.0 - w1) + (d1 == ds) * w1
+
+
+_APPLY_CHUNK = 512  # pixels per inner step — bounds VMEM temporaries
+
+
+def _apply_kernel(pix_ref, lut_ref, out_ref, *, th, tw, ty, tx):
+    t = pl.program_id(1)
+    i = t // tx
+    j = t % tx
+    area = th * tw
+
+    cols = []
+    for dy in range(3):
+        ci = jnp.clip(i + dy - 1, 0, ty - 1)
+        for dx in range(3):
+            cj = jnp.clip(j + dx - 1, 0, tx - 1)
+            cols.append(lut_ref[0, ci * tx + cj, 0, :])
+    W = jnp.stack(cols, axis=1)  # [256, 9]
+
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, N_BINS), 1)
+    ch = min(_APPLY_CHUNK, area)
+    for c in range(area // ch):
+        pixc = pix_ref[0, 0, :, c * ch : (c + 1) * ch].reshape(ch, 1)
+        onehot = (pixc == bins).astype(jnp.float32)  # [ch, 256]
+        vals = jnp.dot(onehot, W, preferred_element_type=jnp.float32)  # [ch, 9]
+
+        idx = c * ch + jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)
+        row = (idx // tw).astype(jnp.float32)
+        col = (idx % tw).astype(jnp.float32)
+        wy = _axis_weights(row, i, th, ty)  # [ch, 3]
+        wx = _axis_weights(col, j, tw, tx)  # [ch, 3]
+        # quadrant weights for all 9 neighbours in one [ch, 9] product
+        wq = jnp.concatenate(
+            [wy[:, dy : dy + 1] * wx for dy in range(3)], axis=1
+        )
+        outc = jnp.sum(vals * wq, axis=1, keepdims=True)  # [ch, 1]
+        out_ref[0, 0, :, c * ch : (c + 1) * ch] = outc.reshape(1, ch)
+
+
+@partial(jax.jit, static_argnames=("clip", "tiles"))
+def clahe_pallas(
+    l: jnp.ndarray, clip: float = 3.0, tiles: tuple[int, int] = (8, 8)
+) -> jnp.ndarray:
+    """Pallas CLAHE on [B, H, W] float32 L-channel (0..255)."""
+    B, H, W = l.shape
+    ty, tx = tiles
+    assert H % ty == 0 and W % tx == 0
+    th, tw = H // ty, W // tx
+    area = th * tw
+    n_tiles = ty * tx
+
+    pix = jnp.clip(jnp.round(l), 0, N_BINS - 1).astype(jnp.int32)
+    # b (ty th) (tx tw) -> b (ty tx) 1 (th tw)
+    tiled = (
+        pix.reshape(B, ty, th, tx, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, n_tiles, 1, area)
+    )
+
+    lut = pl.pallas_call(
+        partial(_hist_lut_kernel, area=area, clip=clip),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, N_BINS), jnp.float32),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, area), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, N_BINS), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(tiled)
+
+    out_tiled = pl.pallas_call(
+        partial(_apply_kernel, th=th, tw=tw, ty=ty, tx=tx),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, area), jnp.float32),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, area), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_tiles, 1, N_BINS),
+                lambda b, t: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, area), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(tiled, lut)
+
+    # b (ty tx) 1 (th tw) -> b (ty th) (tx tw)
+    return (
+        out_tiled.reshape(B, ty, tx, th, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, H, W)
+    )

@@ -1,0 +1,162 @@
+"""Batched geometric warps via inverse-mapped bilinear gather.
+
+The TPU-first replacement for cv2.warpAffine / cv2.warpPerspective
+(normalise.py:51-56, augment presets): every geometric augmentation —
+flip, shift/scale/rotate, perspective — is composed into ONE per-sample
+3×3 homography on the host side of the jit boundary, so the whole geometric
+chain costs a single gather pass per image regardless of how many transforms
+are stacked.
+
+Conventions:
+- images are [B, H, W, C] float32;
+- matrices are *forward* maps (src→dst) like cv2; sampling uses the inverse;
+- border modes: 'replicate' (clamp, cv2.BORDER_REPLICATE) and
+  'constant' (cval fill, cv2.BORDER_CONSTANT).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def rotation_matrix(angle_deg, center_xy, scale=1.0) -> jnp.ndarray:
+    """cv2.getRotationMatrix2D parity: 2×3 forward map, positive angle =
+    counter-clockwise in display coordinates (y down)."""
+    a = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    alpha = jnp.cos(a) * scale
+    beta = jnp.sin(a) * scale
+    cx, cy = center_xy
+    return jnp.array(
+        [
+            [alpha, beta, (1 - alpha) * cx - beta * cy],
+            [-beta, alpha, beta * cx + (1 - alpha) * cy],
+        ],
+        dtype=jnp.float32,
+    )
+
+
+def _to_3x3(m: jnp.ndarray) -> jnp.ndarray:
+    if m.shape[-2:] == (3, 3):
+        return m
+    pad = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], dtype=m.dtype), m.shape[:-2] + (1, 3)
+    )
+    return jnp.concatenate([m, pad], axis=-2)
+
+
+def invert_affine(m: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a 2×3 (or 3×3) transform, returned as 3×3."""
+    return jnp.linalg.inv(_to_3x3(m))
+
+
+def sample_bilinear(
+    img: jnp.ndarray,
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    border: str = "replicate",
+    cval: float = 0.0,
+) -> jnp.ndarray:
+    """Bilinear sample of img [H,W,C] at float coords ys/xs [...]."""
+    H, W = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        return img[yc, xc]
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    out = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    if border == "constant":
+        inside = (
+            (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+        )[..., None]
+        out = jnp.where(inside, out, cval)
+    return out
+
+
+def _warp_one(img, inv3, out_h, out_w, border, cval, perspective):
+    yy = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+    # unrolled 3×3 coordinate transform — a matmul would run bf16 on the MXU
+    # and destroy sampling precision at 512px scales
+    sx = inv3[0, 0] * xx + inv3[0, 1] * yy + inv3[0, 2]
+    sy = inv3[1, 0] * xx + inv3[1, 1] * yy + inv3[1, 2]
+    if perspective:
+        sz = inv3[2, 0] * xx + inv3[2, 1] * yy + inv3[2, 2]
+        sz = jnp.where(jnp.abs(sz) > 1e-8, sz, 1e-8)
+        sx, sy = sx / sz, sy / sz
+    return sample_bilinear(img, sy, sx, border, cval)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "border", "perspective"))
+def warp_affine(
+    imgs: jnp.ndarray,
+    matrices: jnp.ndarray,
+    out_hw: tuple[int, int] | None = None,
+    border: str = "replicate",
+    cval: float = 0.0,
+    perspective: bool = False,
+) -> jnp.ndarray:
+    """Batched warp. ``matrices`` are per-sample forward maps [B,2,3] or
+    [B,3,3] (src→dst, cv2 convention)."""
+    B, H, W, _ = imgs.shape
+    out_h, out_w = out_hw or (H, W)
+    inv = jax.vmap(invert_affine)(matrices)
+    return jax.vmap(
+        lambda im, m: _warp_one(im, m, out_h, out_w, border, cval, perspective)
+    )(imgs, inv)
+
+
+def warp_perspective(imgs, matrices, out_hw=None, border="replicate", cval=0.0):
+    return warp_affine(imgs, matrices, out_hw, border, cval, perspective=True)
+
+
+# ---------------------------------------------------------------------------
+# Transform composers (host/jit-agnostic 3×3 builders)
+# ---------------------------------------------------------------------------
+
+
+def identity3() -> jnp.ndarray:
+    return jnp.eye(3, dtype=jnp.float32)
+
+
+def translate3(tx, ty) -> jnp.ndarray:
+    return jnp.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], dtype=jnp.float32)
+
+
+def scale3(sx, sy, center_xy=(0.0, 0.0)) -> jnp.ndarray:
+    cx, cy = center_xy
+    return (
+        translate3(cx, cy)
+        @ jnp.array([[sx, 0, 0], [0, sy, 0], [0, 0, 1]], dtype=jnp.float32)
+        @ translate3(-cx, -cy)
+    )
+
+
+def rotate3(angle_deg, center_xy) -> jnp.ndarray:
+    return _to_3x3(rotation_matrix(angle_deg, center_xy))
+
+
+def hflip3(width: float) -> jnp.ndarray:
+    return jnp.array([[-1, 0, width - 1], [0, 1, 0], [0, 0, 1]], dtype=jnp.float32)
+
+
+def vflip3(height: float) -> jnp.ndarray:
+    return jnp.array([[1, 0, 0], [0, -1, height - 1], [0, 0, 1]], dtype=jnp.float32)

@@ -1,0 +1,290 @@
+"""Image ops: color conversions, warps, resize/crop geometry, CLAHE, deskew."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mmtrs_tpu.ops import (
+    rgb_to_lab,
+    lab_to_rgb,
+    rgb_to_hsv,
+    hsv_to_rgb,
+    rgb_to_gray,
+    warp_affine,
+    rotation_matrix,
+    resize_bilinear,
+    center_crop_resize,
+    crop_box_resize,
+    clahe,
+    clahe_rgb,
+    deskew_batch,
+    estimate_skew_angle,
+)
+from mmtrs_tpu.ops.resize import mask_to_box
+from tests.synth import synth_images
+
+
+# --------------------------- color ------------------------------------------
+
+
+def test_lab_known_values():
+    # white → L=100 (scaled 255), a=b≈128; black → L=0
+    white = jnp.full((1, 1, 1, 3), 255.0)
+    black = jnp.zeros((1, 1, 1, 3))
+    lw = rgb_to_lab(white)[0, 0, 0]
+    lb = rgb_to_lab(black)[0, 0, 0]
+    assert lw[0] == pytest.approx(255.0, abs=1.0)
+    assert lw[1] == pytest.approx(128.0, abs=1.0)
+    assert lw[2] == pytest.approx(128.0, abs=1.0)
+    assert lb[0] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_lab_roundtrip():
+    imgs = jnp.asarray(synth_images(4, 32, seed=0).astype(np.float32))
+    back = lab_to_rgb(rgb_to_lab(imgs))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(imgs), atol=1.0)
+
+
+def test_hsv_roundtrip_and_ranges():
+    imgs = jnp.asarray(synth_images(4, 32, seed=1).astype(np.float32))
+    hsv = rgb_to_hsv(imgs)
+    assert float(hsv[..., 0].max()) < 180.0
+    assert float(hsv[..., 1].max()) <= 255.0
+    back = hsv_to_rgb(hsv)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(imgs), atol=1.0)
+
+
+def test_hsv_known():
+    red = jnp.asarray([[[[255.0, 0.0, 0.0]]]])
+    h = rgb_to_hsv(red)[0, 0, 0]
+    assert h[0] == pytest.approx(0.0)
+    assert h[1] == pytest.approx(255.0)
+    assert h[2] == pytest.approx(255.0)
+    green = jnp.asarray([[[[0.0, 255.0, 0.0]]]])
+    assert rgb_to_hsv(green)[0, 0, 0, 0] == pytest.approx(60.0)
+
+
+def test_gray_weights():
+    img = jnp.asarray([[[[100.0, 50.0, 200.0]]]])
+    assert rgb_to_gray(img)[0, 0, 0] == pytest.approx(
+        0.299 * 100 + 0.587 * 50 + 0.114 * 200
+    )
+
+
+# --------------------------- warp -------------------------------------------
+
+
+def test_warp_identity():
+    imgs = jnp.asarray(synth_images(2, 32, seed=2).astype(np.float32))
+    M = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
+    out = warp_affine(imgs, M)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-3)
+
+
+def test_warp_rotation_90_matches_numpy():
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 16, 16, 1)).astype(np.float32) * 255
+    M = rotation_matrix(90.0, (7.5, 7.5))[None]
+    out = np.asarray(warp_affine(jnp.asarray(img), M))
+    # cv2.getRotationMatrix2D(+90°): dst_x = y, dst_y = -x + (W-1) —
+    # verified analytically; equals np.rot90(k=1) on the array axes
+    want = np.rot90(img, k=1, axes=(1, 2))
+    np.testing.assert_allclose(out, want, atol=1e-2)
+
+
+def test_warp_translation_replicate_border():
+    img = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    # shift right by 1 (forward map x→x+1)
+    M = jnp.asarray([[[1.0, 0, 1], [0, 1, 0], [0, 0, 1]]])
+    out = np.asarray(warp_affine(img, M))[0, :, :, 0]
+    want = np.asarray(img)[0, :, :, 0]
+    np.testing.assert_allclose(out[:, 1:], want[:, :-1], atol=1e-4)
+    np.testing.assert_allclose(out[:, 0], want[:, 0], atol=1e-4)  # replicate
+
+
+# --------------------------- resize/crop -------------------------------------
+
+
+def _bilinear_oracle(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Classic half-pixel-centre bilinear (cv2.INTER_LINEAR semantics).
+    NB: PIL's BILINEAR is area-averaged on downscale, so PIL is only a valid
+    oracle for upscaling."""
+    H, W = img.shape[:2]
+    ys = np.clip((np.arange(oh) + 0.5) * H / oh - 0.5, 0, H - 1)
+    xs = np.clip((np.arange(ow) + 0.5) * W / ow - 0.5, 0, W - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    return (
+        img[y0][:, x0] * (1 - wy) * (1 - wx)
+        + img[y0][:, x1] * (1 - wy) * wx
+        + img[y1][:, x0] * wy * (1 - wx)
+        + img[y1][:, x1] * wy * wx
+    )
+
+
+def test_resize_matches_bilinear_oracle():
+    rng = np.random.default_rng(1)
+    img = (rng.random((1, 32, 32, 3)) * 255).astype(np.float32)
+    for out_hw in [(16, 16), (64, 64), (24, 40)]:
+        out = np.asarray(resize_bilinear(jnp.asarray(img), out_hw))[0]
+        want = _bilinear_oracle(img[0], *out_hw)
+        np.testing.assert_allclose(out, want, atol=1e-2)
+
+
+def test_resize_upscale_matches_pil():
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    img = (rng.random((1, 16, 16, 3)) * 255).astype(np.uint8)
+    out = np.asarray(resize_bilinear(jnp.asarray(img.astype(np.float32)), (32, 32)))[0]
+    pil = Image.fromarray(img[0]).resize((32, 32), Image.BILINEAR)
+    np.testing.assert_allclose(out, np.asarray(pil, dtype=np.float32), atol=1.0)
+
+
+def test_center_crop_resize_square_identity():
+    imgs = jnp.asarray(synth_images(2, 32, seed=3).astype(np.float32))
+    out = center_crop_resize(imgs, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-3)
+
+
+def test_mask_to_box_and_crop_geometry():
+    mask = np.zeros((64, 64), bool)
+    mask[10:30, 20:50] = True
+    box = np.asarray(mask_to_box(jnp.asarray(mask)))
+    np.testing.assert_array_equal(box, [10, 20, 30, 50])
+
+    # crop_box_resize reproduces the reference numpy geometry
+    rng = np.random.default_rng(2)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+    out = np.asarray(
+        crop_box_resize(jnp.asarray(img)[None], jnp.asarray(box)[None], 32, margin=15)
+    )[0]
+
+    # reference path (segment.py:60-82)
+    y0, x0 = max(10 - 15, 0), max(20 - 15, 0)
+    y1, x1 = min(30 + 15, 64), min(50 + 15, 64)
+    crop = img[y0:y1, x0:x1]
+    h, w = crop.shape[:2]
+    d = max(h, w)
+    padded = np.zeros((d, d, 3), np.float32)
+    yo, xo = (d - h) // 2, (d - w) // 2
+    padded[yo : yo + h, xo : xo + w] = crop
+    want = _bilinear_oracle(padded, 32, 32)
+    assert np.mean(np.abs(out - want)) < 3.0  # border-pixel interp diffs only
+
+
+# --------------------------- CLAHE ------------------------------------------
+
+
+def _clahe_opencv_oracle(l: np.ndarray, clip=3.0, tiles=(8, 8), n_bins=256):
+    """Literal numpy transcription of the OpenCV CLAHE algorithm (even
+    redistribution variant) used as the oracle for the XLA/Pallas versions."""
+    H, W = l.shape
+    ty, tx = tiles
+    th, tw = H // ty, W // tx
+    area = th * tw
+    pix = np.clip(np.round(l), 0, n_bins - 1).astype(int)
+    luts = np.zeros((ty, tx, n_bins))
+    limit = max(int(clip * area / n_bins), 1)
+    for i in range(ty):
+        for j in range(tx):
+            tile = pix[i * th : (i + 1) * th, j * tw : (j + 1) * tw]
+            hist = np.bincount(tile.ravel(), minlength=n_bins).astype(float)
+            excess = np.maximum(hist - limit, 0).sum()
+            hist = np.minimum(hist, limit) + excess / n_bins
+            cdf = np.cumsum(hist)
+            luts[i, j] = np.clip(np.round(cdf * (n_bins - 1) / area), 0, n_bins - 1)
+    out = np.zeros((H, W))
+    for y in range(H):
+        for x in range(W):
+            fy = (y + 0.5) / th - 0.5
+            fx = (x + 0.5) / tw - 0.5
+            y0 = int(np.clip(np.floor(fy), 0, ty - 1))
+            x0 = int(np.clip(np.floor(fx), 0, tx - 1))
+            y1 = min(y0 + 1, ty - 1)
+            x1 = min(x0 + 1, tx - 1)
+            wy = np.clip(fy - y0, 0, 1)
+            wx = np.clip(fx - x0, 0, 1)
+            v = pix[y, x]
+            out[y, x] = (
+                luts[y0, x0, v] * (1 - wy) * (1 - wx)
+                + luts[y0, x1, v] * (1 - wy) * wx
+                + luts[y1, x0, v] * wy * (1 - wx)
+                + luts[y1, x1, v] * wy * wx
+            )
+    return out
+
+
+def test_clahe_matches_oracle():
+    rng = np.random.default_rng(3)
+    l = (rng.random((2, 32, 32)) * 255).astype(np.float32)
+    got = np.asarray(clahe(jnp.asarray(l), clip=3.0, tiles=(4, 4)))
+    for b in range(2):
+        want = _clahe_opencv_oracle(l[b], clip=3.0, tiles=(4, 4))
+        np.testing.assert_allclose(got[b], want, atol=1e-3)
+
+
+def test_clahe_increases_local_contrast():
+    imgs = synth_images(2, 64, seed=4).astype(np.float32)
+    # low-contrast version
+    low = imgs * 0.25 + 96.0
+    out = np.asarray(clahe_rgb(jnp.asarray(low)))
+    # clip-limited equalization must widen the luminance distribution
+    assert out.std() > low.std() * 1.1, (out.std(), low.std())
+    assert out.max() - out.min() > (low.max() - low.min()) * 1.2
+    assert out.min() >= 0 and out.max() <= 255
+
+
+def test_clahe_identity_on_uniform():
+    l = jnp.full((1, 32, 32), 128.0)
+    out = np.asarray(clahe(l, tiles=(4, 4)))
+    assert np.all(np.abs(out - out[0, 0, 0]) < 1e-3)  # stays flat
+
+
+# --------------------------- deskew ------------------------------------------
+
+
+def _bar_image(angle_deg: float, size=128) -> np.ndarray:
+    """Bright elongated bar rotated by angle (display coords, CCW positive)."""
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    cx = cy = size / 2
+    th = np.deg2rad(angle_deg)
+    u = (xs - cx) * np.cos(th) - (ys - cy) * np.sin(th)
+    v = (xs - cx) * np.sin(th) + (ys - cy) * np.cos(th)
+    mask = (np.abs(u) < size * 0.4) & (np.abs(v) < size * 0.06)
+    img = np.full((size, size, 3), 30.0, np.float32)
+    img[mask] = 220.0
+    return img
+
+
+@pytest.mark.parametrize("true_angle", [-30.0, 20.0, 40.0])
+def test_estimate_skew_angle(true_angle):
+    img = _bar_image(true_angle)
+    est = float(estimate_skew_angle(jnp.asarray(img)[None])[0])
+    # _bar_image rotates in math coords (CCW); the estimator reports
+    # atan2(e_y, e_x) in display coords (y down) like the reference, so the
+    # expected estimate is -true_angle (mod 180)
+    diff = min(abs(est + true_angle), abs(abs(est + true_angle) - 180))
+    assert diff < 3.0, (est, true_angle)
+
+
+def test_deskew_applies_only_above_tolerance():
+    img_small = _bar_image(5.0)
+    img_big = _bar_image(40.0)
+    out, ang = deskew_batch(jnp.asarray(np.stack([img_small, img_big])))
+    ang = np.asarray(ang)
+    assert ang[0] == 0.0
+    assert abs(ang[1]) >= 15.0
+    # the rotated big-angle image should now be near-horizontal
+    est_after = float(estimate_skew_angle(out[1:2])[0])
+    assert min(abs(est_after), abs(abs(est_after) - 180)) < 5.0
+
+
+def test_deskew_skips_blank():
+    blank = jnp.full((1, 64, 64, 3), 128.0)
+    _, ang = deskew_batch(blank)
+    assert float(ang[0]) == 0.0
