@@ -1,0 +1,101 @@
+"""Molar segmentation → crop box, batched and jit-compiled.
+
+The reference wraps a COCO-pretrained torchvision Mask R-CNN
+(src/preprocessing/segment.py:15-58) but its *consumer* needs exactly one
+crop rectangle per image, selected with these heuristics:
+- reject low-confidence masks (score < 0.05);
+- reject "gray"/metal regions: mean HSV saturation over the mask < 40
+  (segment.py:37-39);
+- shipped selection = argmax-score mask (the centre-closest computation at
+  :41-49 is dead code overwritten at :50-58 — SURVEY.md quirk, preserved
+  here as "saliency-peak" selection);
+- ``crop_with_mask``: bbox + 15px margin, pad-to-square with zeros, resize
+  to 512 (segment.py:60-82);
+- on any failure → centre-crop fallback (pipeline.py:107-111).
+
+TPU-first design (round 1): a classical, fully-array saliency proposer —
+no dynamic shapes, no connected components. "Toothness" = brightness ×
+centre prior, gated by the same saturation-≥-40 metal filter; the box is
+the bounding box of the thresholded saliency mass. The :class:`Segmenter`
+protocol lets a learned JAX detector (Mask R-CNN port) drop in later with
+the same box contract.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Protocol
+
+import jax
+import jax.numpy as jnp
+
+from mmtrs_tpu.ops.color import rgb_to_hsv, rgb_to_lab
+
+
+class Segmenter(Protocol):
+    def propose_boxes(self, imgs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """imgs [B,H,W,3] 0..255 → (boxes [B,4] (y0,x0,y1,x1), valid [B] bool)."""
+        ...
+
+
+class SaliencySegmenter:
+    """Classical tooth proposer with the reference's mask-selection gates."""
+
+    def __init__(
+        self,
+        min_saturation: float = 40.0,
+        min_area_frac: float = 0.005,
+        centre_sigma_frac: float = 0.5,
+        quantile: float = 0.80,
+    ):
+        self.min_saturation = min_saturation
+        self.min_area_frac = min_area_frac
+        self.centre_sigma_frac = centre_sigma_frac
+        self.quantile = quantile
+
+    @partial(jax.jit, static_argnums=(0,))
+    def propose_boxes(self, imgs: jnp.ndarray):
+        B, H, W, _ = imgs.shape
+        lab = rgb_to_lab(imgs)
+        l = lab[..., 0]  # brightness
+        hsv = rgb_to_hsv(imgs)
+        sat = hsv[..., 1]
+
+        yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+        xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+        sy = H * self.centre_sigma_frac
+        sx = W * self.centre_sigma_frac
+        centre_prior = jnp.exp(
+            -(((yy - H / 2) / sy) ** 2 + ((xx - W / 2) / sx) ** 2)
+        )
+        sal = l * centre_prior  # bright AND central
+
+        thr = jnp.quantile(sal.reshape(B, -1), self.quantile, axis=1)
+        mask = sal >= thr[:, None, None]
+
+        # metal filter: mean saturation over the proposed mask must be ≥ 40
+        m = mask.astype(jnp.float32)
+        n = jnp.maximum(m.sum(axis=(1, 2)), 1.0)
+        mean_sat = (sat * m).sum(axis=(1, 2)) / n
+        sat_ok = mean_sat >= self.min_saturation
+        area_ok = n >= self.min_area_frac * H * W
+        valid = sat_ok & area_ok
+
+        # bounding box of mask mass (static shapes)
+        ridx = jnp.arange(H, dtype=jnp.float32)
+        cidx = jnp.arange(W, dtype=jnp.float32)
+        rows = mask.any(axis=2)
+        cols = mask.any(axis=1)
+        y0 = jnp.min(jnp.where(rows, ridx, float(H)), axis=1)
+        y1 = jnp.max(jnp.where(rows, ridx, -1.0), axis=1) + 1.0
+        x0 = jnp.min(jnp.where(cols, cidx, float(W)), axis=1)
+        x1 = jnp.max(jnp.where(cols, cidx, -1.0), axis=1) + 1.0
+        boxes = jnp.stack([y0, x0, y1, x1], axis=1)
+
+        # centre-crop fallback geometry for invalid proposals
+        side = float(min(H, W))
+        cy0 = (H - side) / 2.0
+        cx0 = (W - side) / 2.0
+        centre_box = jnp.array([cy0, cx0, cy0 + side, cx0 + side])
+        boxes = jnp.where(valid[:, None], boxes, centre_box[None, :])
+        return boxes, valid

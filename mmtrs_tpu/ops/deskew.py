@@ -2,13 +2,19 @@
 
 Parity with normalise.py:19-57: Canny(50,150) edge map → PCA of edge-point
 coordinates → principal-axis angle; skip when |angle| < ROT_TOLERANCE (15°)
-or fewer than 10 edge points; rotate about the centre with replicate border.
+or too few edge points; rotate about the centre with replicate border.
 
-TPU-first reformulation: instead of materializing a dynamic-size coordinate
-list, the covariance is computed as *mask-weighted moments* over the full
-pixel grid (static shapes). The Canny is approximated by Sobel gradient
-magnitude with one hysteresis dilation step (no non-max thinning); parity is
-distributional — the angle statistic, not the edge bitmap (SURVEY.md §7).
+TPU-first reformulations:
+- the covariance is computed as *mask-weighted moments* over the full pixel
+  grid (static shapes, no coordinate lists);
+- the Canny is approximated by Sobel magnitude + one hysteresis dilation
+  step (no non-max thinning) — parity is the angle statistic, not the edge
+  bitmap (SURVEY.md §7 hard-part 3);
+- the estimate runs on a 4×4 average-pooled image: the principal-axis angle
+  is scale-invariant and this cuts the edge-map cost 16×;
+- the expensive rotation warp (a gather) is wrapped in ``lax.cond`` and
+  skipped entirely when *no* sample in the batch exceeds the tolerance —
+  the common case, since ROT_TOLERANCE is 15°.
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from mmtrs_tpu.ops.color import rgb_to_gray
-from mmtrs_tpu.ops.warp import rotate3, warp_affine
+from mmtrs_tpu.ops.warp import rotate_shear3
 
 
 def _sobel(gray: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -41,7 +47,6 @@ def canny_lite(
     mag = jnp.sqrt(gx * gx + gy * gy)
     strong = mag >= high
     weak = mag >= low
-    # dilate strong by 1 (3×3 max) — one hysteresis propagation step
     s = strong.astype(jnp.float32)
     sp = jnp.pad(s, ((0, 0), (1, 1), (1, 1)))
     dil = jnp.zeros_like(s)
@@ -51,15 +56,25 @@ def canny_lite(
     return strong | (weak & (dil > 0))
 
 
+def _pool4(gray: jnp.ndarray) -> jnp.ndarray:
+    B, H, W = gray.shape
+    h4, w4 = (H // 4) * 4, (W // 4) * 4
+    g = gray[:, :h4, :w4].reshape(B, h4 // 4, 4, w4 // 4, 4)
+    return g.mean(axis=(2, 4))
+
+
 @jax.jit
 def estimate_skew_angle(
     imgs: jnp.ndarray,
     low: float = 50.0,
     high: float = 150.0,
     min_points: int = 10,
+    downsample: bool = True,
 ) -> jnp.ndarray:
     """Principal-axis angle (degrees) of the edge mass, per image [B]."""
     gray = rgb_to_gray(imgs)
+    if downsample:
+        gray = _pool4(gray)
     m = canny_lite(gray, low, high).astype(jnp.float32)
     B, H, W = m.shape
     ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
@@ -75,13 +90,10 @@ def estimate_skew_angle(
     vyy = jnp.sum(m * dy * dy, axis=(1, 2)) / denom
     vxx = jnp.sum(m * dx * dx, axis=(1, 2)) / denom
     vyx = jnp.sum(m * dy * dx, axis=(1, 2)) / denom
-    cov = jnp.stack(
-        [jnp.stack([vyy, vyx], -1), jnp.stack([vyx, vxx], -1)], -2
-    )  # [B,2,2]
-    _, eigvecs = jnp.linalg.eigh(cov)
-    # eigh sorts eigenvalues ascending → the principal component is column 1
-    principal = eigvecs[..., :, 1]  # [B, 2] = (e_y, e_x)
-    angle = jnp.rad2deg(jnp.arctan2(principal[..., 0], principal[..., 1]))
+    # principal axis of a 2×2 symmetric matrix, closed form:
+    # θ = 0.5·atan2(2·vyx, vxx − vyy) gives the angle (from the x-axis) of
+    # the eigenvector with the LARGER eigenvalue
+    angle = jnp.rad2deg(0.5 * jnp.arctan2(2.0 * vyx, vxx - vyy))
     return jnp.where(n < min_points, 0.0, angle)
 
 
@@ -93,11 +105,17 @@ def deskew_batch(
     high: float = 150.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rotate each image so its dominant edge axis lies horizontal; skip
-    small corrections (|angle| < tolerance). Returns (imgs, applied_angle)."""
+    small corrections (|angle| < tolerance). Returns (imgs, applied_angle).
+    The whole-batch warp is skipped via ``lax.cond`` when nothing rotates."""
     B, H, W, _ = imgs.shape
     angle = estimate_skew_angle(imgs, low, high)
     apply = jnp.abs(angle) >= tolerance_deg
     eff = jnp.where(apply, angle, 0.0)
-    mats = jax.vmap(lambda a: rotate3(a, (W / 2.0, H / 2.0)))(eff)
-    out = warp_affine(imgs, mats, border="replicate")
+
+    def do_warp(x):
+        # gather-free 3-shear rotation (see warp.rotate_shear3); the
+        # reference rotates about (W/2, H/2) (normalise.py:48-56)
+        return rotate_shear3(x, eff, center_xy=(W / 2.0, H / 2.0))
+
+    out = jax.lax.cond(jnp.any(apply), do_warp, lambda x: x, imgs)
     return out, eff

@@ -17,17 +17,46 @@ import jax.numpy as jnp
 from mmtrs_tpu.ops.warp import sample_bilinear
 
 
+def _interp_matrix(src_coords: jnp.ndarray, n_src: int) -> jnp.ndarray:
+    """[..., n_out] float source coords → [..., n_out, n_src] bilinear
+    interpolation matrix (hat weights, clamped = replicate border).
+
+    TPU-first trick: axis-aligned resampling as a dense banded matrix turns
+    gathers (catastrophically slow on TPU — measured ~45M taps/s) into MXU
+    matmuls. The matrix is built with one compare-free hat function over a
+    lane iota; 512×512 f32 is 1MB — trivial next to the gather cost.
+    """
+    c = jnp.clip(src_coords, 0.0, n_src - 1.0)[..., None]
+    idx = jnp.arange(n_src, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(c - idx))
+
+
+def _resample_axis_matmul(imgs: jnp.ndarray, Wm: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Apply per-sample interpolation matrices along H (axis=1) or W (axis=2).
+    imgs [B,H,W,C]; Wm [B, n_out, n_src]. HIGHEST precision: the default
+    matmul precision is bf16-class, which costs ~0.5 intensity levels —
+    visible against the exact-bilinear oracle."""
+    if axis == 1:
+        return jnp.einsum("byi,bixc->byxc", Wm, imgs,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("bxj,byjc->byxc", Wm, imgs,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("out_hw",))
 def resize_bilinear(imgs: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
-    """cv2.INTER_LINEAR-compatible batched resize (half-pixel centers)."""
+    """cv2.INTER_LINEAR-compatible batched resize (half-pixel centers),
+    as two separable MXU matmuls."""
     B, H, W, C = imgs.shape
     oh, ow = out_hw
-    sy, sx = H / oh, W / ow
-    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * sy - 0.5
-    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * sx - 0.5
-    yy = jnp.broadcast_to(ys[:, None], (oh, ow))
-    xx = jnp.broadcast_to(xs[None, :], (oh, ow))
-    return jax.vmap(lambda im: sample_bilinear(im, yy, xx, border="replicate"))(imgs)
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (H / oh) - 0.5
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (W / ow) - 0.5
+    Wy = jnp.broadcast_to(_interp_matrix(ys, H), (B, oh, H))
+    Wx = jnp.broadcast_to(_interp_matrix(xs, W), (B, ow, W))
+    out = _resample_axis_matmul(imgs.astype(jnp.float32), Wy, axis=1)
+    return _resample_axis_matmul(out, Wx, axis=2)
 
 
 @partial(jax.jit, static_argnames=("out_size",))
@@ -49,41 +78,48 @@ def crop_box_resize(
     margin: float = 15.0,
 ) -> jnp.ndarray:
     """Batched ``crop_with_mask`` geometry (segment.py:60-82): per-sample box
-    (y0, x0, y1, x1) + margin, clamp, pad-to-square with zeros, resize —
-    expressed as one bilinear sampling with constant border.
+    (y0, x0, y1, x1) + margin, clamp, pad-to-square with zeros, resize.
+
+    Routed through :func:`warp_affine` (src→dst matrices) plus a
+    scalar-bounds mask: output pixel u maps to source
+    ``(u+0.5)·d/out − 0.5 − off + origin``, which is affine, and the
+    zero-padding region is exactly the set of outputs whose source falls
+    outside the crop rect — per-sample scalar bounds in *output*
+    coordinates, so the mask is two iota comparisons.
 
     ``boxes`` is [B, 4] float (y0, x0, y1, x1), exclusive upper bounds like
     the reference's ``y.max()+1``-equivalent slicing.
     """
     B, H, W, C = imgs.shape
+    b = boxes.astype(jnp.float32)
+    y0 = jnp.maximum(b[:, 0] - margin, 0.0)
+    x0 = jnp.maximum(b[:, 1] - margin, 0.0)
+    y1 = jnp.minimum(b[:, 2] + margin, float(H))
+    x1 = jnp.minimum(b[:, 3] + margin, float(W))
+    h = y1 - y0
+    w = x1 - x0
+    d = jnp.maximum(h, w)
+    # reference uses integer offsets ((d-h)//2); match that rounding
+    y_off = jnp.floor((d - h) / 2.0)
+    x_off = jnp.floor((d - w) / 2.0)
+    scale = d / out_size  # src = scale·dst + t
+    ty = 0.5 * scale - 0.5 - y_off + y0
+    tx = 0.5 * scale - 0.5 - x_off + x0
 
-    def one(img, box):
-        y0 = jnp.maximum(box[0] - margin, 0.0)
-        x0 = jnp.maximum(box[1] - margin, 0.0)
-        y1 = jnp.minimum(box[2] + margin, float(H))
-        x1 = jnp.minimum(box[3] + margin, float(W))
-        h = y1 - y0
-        w = x1 - x0
-        d = jnp.maximum(h, w)
-        # reference uses integer offsets ((d-h)//2); match that rounding
-        y_off = jnp.floor((d - h) / 2.0)
-        x_off = jnp.floor((d - w) / 2.0)
-        # output pixel u,v ∈ [0,out) maps into padded square of side d:
-        # padded coord p = (u+0.5) * d/out - 0.5; source = p - off + origin
-        scale = d / out_size
-        us = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
-        py = us[:, None] - y_off + y0
-        px = us[None, :] - x_off + x0
-        yy = jnp.broadcast_to(py, (out_size, out_size))
-        xx = jnp.broadcast_to(px, (out_size, out_size))
-        # outside the crop rect (incl. the zero padding) → 0
-        inside = (
-            (yy >= y0 - 0.5) & (yy <= y1 - 0.5) & (xx >= x0 - 0.5) & (xx <= x1 - 0.5)
-        )
-        out = sample_bilinear(img, yy, xx, border="constant", cval=0.0)
-        return jnp.where(inside[..., None], out, 0.0)
+    # axis-aligned map → two separable MXU matmuls (see _interp_matrix)
+    u = jnp.arange(out_size, dtype=jnp.float32)
+    sy = scale[:, None] * u[None, :] + ty[:, None]  # [B, out]
+    sx = scale[:, None] * u[None, :] + tx[:, None]
+    Wy = _interp_matrix(sy, H)  # [B, out, H]
+    Wx = _interp_matrix(sx, W)
+    out = _resample_axis_matmul(imgs.astype(jnp.float32), Wy, axis=1)
+    out = _resample_axis_matmul(out, Wx, axis=2)
 
-    return jax.vmap(one)(imgs, boxes.astype(jnp.float32))
+    # zero the pad region: outputs whose source falls outside the crop rect
+    row_ok = (sy >= y0[:, None] - 0.5) & (sy <= y1[:, None] - 0.5)  # [B, out]
+    col_ok = (sx >= x0[:, None] - 0.5) & (sx <= x1[:, None] - 0.5)
+    mask = row_ok[:, :, None] & col_ok[:, None, :]
+    return jnp.where(mask[..., None], out, 0.0)
 
 
 def mask_to_box(mask: jnp.ndarray) -> jnp.ndarray:

@@ -129,6 +129,83 @@ def warp_perspective(imgs, matrices, out_hw=None, border="replicate", cval=0.0):
 
 
 # ---------------------------------------------------------------------------
+# Gather-free rotation (Paeth 3-shear decomposition)
+# ---------------------------------------------------------------------------
+#
+# TPU gathers run at ~45M taps/s (measured) — a full-image bilinear warp
+# costs ~500 ms/batch32. Rotation decomposes exactly into three 1-D shears
+# (Paeth '86): R(θ) = Sx(α)·Sy(β)·Sx(α), α = -tan(θ/2), β = sin θ. Each
+# shear is a per-row fractional translation, implemented as a log-shift
+# cascade of jnp.roll + select (pure HBM bandwidth, ~10 passes) — two
+# orders of magnitude faster than the gather path. Interior pixels match
+# the direct warp up to triple-resampling blur; borders replicate.
+
+
+def _shift_rows_frac(img: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
+    """out[b, y, x] = in[b, y, x + off[b, y]] (bilinear, replicate border).
+
+    img: [B, H, W, C]; off: [B, H] float offsets (inverse-map convention).
+    Integer part via a log2 cascade of static rolls; fractional part via a
+    2-tap blend; out-of-range positions take the row's edge pixel.
+    """
+    B, H, W, C = img.shape
+    k = jnp.floor(off)
+    f = (off - k)[:, :, None, None]
+
+    def int_shift(x, kk):
+        """x rolled left by kk (per-row ints, wrap); kk in [0, W)."""
+        s = jnp.mod(kk.astype(jnp.int32), W)
+        bit = 1
+        while bit < W:
+            rolled = jnp.roll(x, -bit, axis=2)
+            take = (s & bit).astype(bool)[:, :, None, None]
+            x = jnp.where(take, rolled, x)
+            bit *= 2
+        return x
+
+    a = int_shift(img, k)
+    b = jnp.roll(a, -1, axis=2)  # shift by k+1 = shift by k then by 1
+    out = (1.0 - f) * a + f * b
+
+    # replicate border: positions whose source column leaves [0, W-1]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    src = xx + off[:, :, None]
+    left = img[:, :, :1, :]
+    right = img[:, :, -1:, :]
+    out = jnp.where((src < 0.0)[..., None], left, out)
+    out = jnp.where((src > W - 1.0)[..., None], right, out)
+    return out
+
+
+def rotate_shear3(
+    imgs: jnp.ndarray, angles_deg: jnp.ndarray, center_xy=None
+) -> jnp.ndarray:
+    """Batched rotation about the centre via 3 shears; cv2-convention
+    (positive angle = counter-clockwise in display coords), replicate
+    border. angles: [B] degrees, |θ| ≤ 90."""
+    B, H, W, C = imgs.shape
+    cx, cy = center_xy if center_xy is not None else ((W - 1) / 2.0, (H - 1) / 2.0)
+    # cv2's +θ CCW (y down) equals -θ in math coords; the Paeth params for
+    # the INVERSE sampling of R_cv2(θ) come out as:
+    th = jnp.deg2rad(jnp.asarray(angles_deg, jnp.float32))
+    alpha = -jnp.tan(th / 2.0)  # x-shear factor
+    beta = jnp.sin(th)  # y-shear factor
+
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :] - cy  # [1, H]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] - cx  # [1, W]
+
+    # pass 1: x-shear   out[y, x] = in[y, x + α·(y−cy)]
+    out = _shift_rows_frac(imgs, alpha[:, None] * ys)
+    # pass 2: y-shear   out[y, x] = in[y + β·(x−cx), x]  (transpose trick)
+    out = jnp.swapaxes(out, 1, 2)
+    out = _shift_rows_frac(out, beta[:, None] * xs)
+    out = jnp.swapaxes(out, 1, 2)
+    # pass 3: x-shear
+    out = _shift_rows_frac(out, alpha[:, None] * ys)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Transform composers (host/jit-agnostic 3×3 builders)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,107 @@
+"""The batched preprocessing pipeline — the hot path of the framework.
+
+Parity with src/preprocessing/pipeline.py ``ImagePreprocessor.process_file``
+(order and toggles, :84-116): CLAHE → optional deskew → segmentation crop
+(with centre-crop fallback) → 512×512 output; min-edge gate (<400px reject)
+happens at decode time on the host (the only dynamic-shape step).
+
+TPU-first: the whole chain is ONE jit-compiled function over an HBM-resident
+uint8 batch — vs the reference's per-image OpenCV calls with a
+host→device round-trip per image (SURVEY.md §3.1). This function is what
+bench.py measures against the ≥5k imgs/s/chip north star.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtrs_tpu.config import PreprocessConfig
+from mmtrs_tpu.models.segmenter import SaliencySegmenter
+from mmtrs_tpu.ops.clahe import clahe
+from mmtrs_tpu.ops.color import lab_to_rgb, rgb_to_lab
+from mmtrs_tpu.ops.deskew import deskew_batch
+from mmtrs_tpu.ops.resize import crop_box_resize
+
+try:  # Pallas CLAHE only compiles on real TPU; fall back to XLA elsewhere
+    from mmtrs_tpu.ops.pallas.clahe_kernel import clahe_pallas as _clahe_fast
+except Exception:  # pragma: no cover
+    _clahe_fast = None
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_size", "do_crop", "do_rotate", "clahe_clip", "tiles", "use_pallas"),
+)
+def preprocess_batch(
+    imgs: jnp.ndarray,
+    out_size: int = 512,
+    do_crop: bool = True,
+    do_rotate: bool = True,
+    clahe_clip: float = 3.0,
+    tiles: tuple[int, int] = (8, 8),
+    crop_margin: float = 15.0,
+    use_pallas: bool = False,
+):
+    """imgs: [B, H, W, 3] uint8/float 0..255 → (out [B,512,512,3] f32,
+    info dict with seg_valid / deskew_angle)."""
+    x = imgs.astype(jnp.float32)
+
+    # 1. CLAHE on the LAB L channel (normalise.py:10-16)
+    lab = rgb_to_lab(x)
+    fn = _clahe_fast if (use_pallas and _clahe_fast is not None) else clahe
+    l2 = fn(lab[..., 0], clip=clahe_clip, tiles=tiles)
+    x = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
+
+    # 2. optional deskew (normalise.py:19-57)
+    if do_rotate:
+        x, angle = deskew_batch(x)
+    else:
+        angle = jnp.zeros(x.shape[0])
+
+    # 3. segmentation crop with centre fallback (pipeline.py:84-116)
+    if do_crop:
+        seg = SaliencySegmenter()
+        boxes, valid = seg.propose_boxes(x)
+    else:
+        B, H, W, _ = x.shape
+        side = float(min(H, W))
+        cy0, cx0 = (H - side) / 2.0, (W - side) / 2.0
+        boxes = jnp.tile(
+            jnp.array([[cy0, cx0, cy0 + side, cx0 + side]]), (x.shape[0], 1)
+        )
+        valid = jnp.zeros(x.shape[0], bool)
+    out = crop_box_resize(x, boxes, out_size, margin=crop_margin)
+    return out, {"seg_valid": valid, "deskew_angle": angle, "boxes": boxes}
+
+
+def min_edge_ok(shape_hw: tuple[int, int], cfg: PreprocessConfig = PreprocessConfig()) -> bool:
+    """Host-side decode gate (pipeline.py:80): reject min edge < 400px."""
+    return min(shape_hw) >= cfg.min_edge_px
+
+
+def preprocess_numpy(
+    imgs: np.ndarray, cfg: PreprocessConfig = PreprocessConfig()
+) -> tuple[np.ndarray, dict]:
+    """Convenience host API with config object."""
+    out, info = preprocess_batch(
+        jnp.asarray(imgs),
+        out_size=cfg.output_size,
+        do_crop=cfg.do_crop,
+        do_rotate=cfg.do_rotate,
+        clahe_clip=cfg.clahe_clip,
+        tiles=cfg.clahe_tiles,
+        crop_margin=float(cfg.crop_margin_px),
+        use_pallas=_use_pallas(),
+    )
+    return np.asarray(out), {k: np.asarray(v) for k, v in info.items()}

@@ -1,0 +1,197 @@
+"""MIL attention trainer (train_mil_attention_v1.py parity).
+
+GroupKFold(5) on origin_id, bags of K RandomResizedCrop instances built on
+device per step, BCE on the bag logit, best-val-AUC checkpointing per fold,
+hflip TTA at predict time, OOF/test CSVs + summary.json.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from mmtrs_tpu.config import MILConfig
+from mmtrs_tpu.metrics import roc_auc
+from mmtrs_tpu.models.mil import MILNet, make_bags
+from mmtrs_tpu.train.common import (
+    TrainState,
+    bce_logits,
+    epoch_batches,
+    make_optimizer,
+    normalize_imagenet,
+)
+from mmtrs_tpu.utils.rng import keys_for_batch
+
+
+class MILTrainer:
+    def __init__(self, cfg: MILConfig):
+        self.cfg = cfg
+        self.model = MILNet(model_name=cfg.model_name, attn_dim=cfg.attn_dim)
+
+    def init_state(self, total_steps: int) -> TrainState:
+        cfg = self.cfg
+        variables = self.model.init(
+            jax.random.key(cfg.seed),
+            jnp.zeros((1, cfg.bag_size, cfg.img_size, cfg.img_size, 3), jnp.float32),
+            train=False,
+        )
+        self.tx = make_optimizer(cfg.lr, cfg.weight_decay, total_steps)
+        state = TrainState.create(variables, self.tx)
+
+        def loss_fn(outputs, batch):
+            logit, _ = outputs
+            return bce_logits(logit, batch["y"])
+
+        def step(state: TrainState, batch):
+            def compute(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                outputs, mut = self.model.apply(
+                    variables, batch["bags"], train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.fold_in(jax.random.key(1), state.step)},
+                )
+                return loss_fn(outputs, batch), mut
+
+            (loss, mut), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+            import optax
+
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params=params, batch_stats=mut["batch_stats"],
+                           opt_state=opt_state, step=state.step + 1),
+                loss,
+            )
+
+        self._train_step = jax.jit(step, donate_argnums=(0,))
+        self._eval_step = jax.jit(
+            lambda st, bags: self.model.apply(
+                {"params": st.params, "batch_stats": st.batch_stats}, bags, train=False
+            )[0]
+        )
+        return state
+
+    def _make_train_bags(self, imgs: np.ndarray, seed: int, origin_ids) -> jnp.ndarray:
+        cfg = self.cfg
+        keys = keys_for_batch(seed, origin_ids, np.zeros(len(imgs)))
+        bags = make_bags(
+            jnp.asarray(imgs, jnp.float32), keys, cfg.bag_size, cfg.img_size,
+            cfg.crop_scale,
+        )
+        return normalize_imagenet(bags)
+
+    def _make_eval_bags(self, imgs: np.ndarray, origin_ids) -> jnp.ndarray:
+        # deterministic bag (fixed key stream) for eval
+        cfg = self.cfg
+        keys = keys_for_batch(999, origin_ids, np.zeros(len(imgs)))
+        bags = make_bags(
+            jnp.asarray(imgs, jnp.float32), keys, cfg.bag_size, cfg.img_size,
+            cfg.crop_scale, hflip_p=0.0,
+        )
+        return normalize_imagenet(bags)
+
+    def fit(self, images, y, origin_ids, train_idx, val_idx, epochs=None, log=print):
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        steps = max(len(train_idx) // cfg.batch_size, 1) * epochs
+        state = self.init_state(steps)
+        rng = np.random.default_rng(cfg.seed)
+        best = {"auc": -np.inf, "state": state}
+        for ep in range(epochs):
+            losses = []
+            for bidx in epoch_batches(len(train_idx), cfg.batch_size, rng):
+                sel = train_idx[bidx]
+                bags = self._make_train_bags(images[sel], cfg.seed + ep, origin_ids[sel])
+                state, loss = self._train_step(
+                    state, {"bags": bags, "y": jnp.asarray(y[sel].astype(np.float32))}
+                )
+                losses.append(float(loss))
+            p_val = self.predict_proba(state, images[val_idx], origin_ids[val_idx])
+            auc = roc_auc(y[val_idx], p_val)
+            log(f"[mil ep {ep}] loss {np.mean(losses):.4f} val_auc {auc:.4f}")
+            if auc > best["auc"]:
+                from mmtrs_tpu.train.common import snapshot
+
+                best = {"auc": auc, "state": snapshot(state)}
+        return best["state"], best["auc"]
+
+    def predict_proba(self, state, images, origin_ids, tta: bool | None = None) -> np.ndarray:
+        cfg = self.cfg
+        tta = cfg.tta_hflip if tta is None else tta
+        bs = cfg.batch_size
+        out = []
+        for s in range(0, len(images), bs):
+            imgs = images[s : s + bs]
+            pad = bs - len(imgs) if len(imgs) < bs else 0
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+                oid = np.concatenate([origin_ids[s:], np.repeat(origin_ids[-1:], pad)])
+            else:
+                oid = origin_ids[s : s + bs]
+            bags = self._make_eval_bags(imgs, oid)
+            logit = np.asarray(self._eval_step(state, bags))
+            if tta:
+                logit2 = np.asarray(self._eval_step(state, bags[:, :, :, ::-1, :]))
+                logit = 0.5 * (logit + logit2)
+            p = 1 / (1 + np.exp(-logit))
+            out.append(p[: len(p) - pad] if pad else p)
+        return np.concatenate(out)
+
+
+def run_mil_kfold(
+    images: np.ndarray,
+    df: pd.DataFrame,
+    cfg: MILConfig = MILConfig(),
+    outdir=None,
+    epochs: int | None = None,
+    log=print,
+) -> dict:
+    """5-fold GroupKFold driver → oof_val.csv / pred_test.csv / summary.json
+    (train_mil_attention_v1.py:152-295)."""
+    from pathlib import Path
+
+    from mmtrs_tpu.data.splits import group_kfold
+    from mmtrs_tpu.utils.io import save_json
+
+    y = df["y_majority"].astype(int).to_numpy()
+    origin = df["origin_id"].to_numpy()
+    is_test = (df["split"] == "test").to_numpy()
+    tv = np.nonzero(~is_test)[0]
+    te = np.nonzero(is_test)[0]
+
+    oof = np.full(len(tv), np.nan)
+    test_probs = []
+    fold_aucs = []
+    trainer = MILTrainer(cfg)
+    df_tv = df.iloc[tv].reset_index(drop=True)
+    for fold, (tr_rel, va_rel) in enumerate(group_kfold(df_tv, cfg.n_folds)):
+        tr, va = tv[tr_rel], tv[va_rel]
+        state, val_auc = trainer.fit(images, y, origin, tr, va, epochs=epochs, log=log)
+        oof[va_rel] = trainer.predict_proba(state, images[va], origin[va])
+        test_probs.append(trainer.predict_proba(state, images[te], origin[te]))
+        fold_aucs.append(val_auc)
+        log(f"[mil fold {fold}] val_auc {val_auc:.4f}")
+
+    p_test = np.mean(test_probs, axis=0)
+    summary = {
+        "folds": [{"fold": i, "val_auc": float(a)} for i, a in enumerate(fold_aucs)],
+        "mean_val_auc": float(np.mean(fold_aucs)),
+        "test_auc": roc_auc(y[te], p_test) if len(te) else None,
+    }
+    oof_df = pd.DataFrame(
+        {"image_name": df.iloc[tv]["image_name"].values, "y": y[tv].astype(float), "prob": oof}
+    )
+    test_df = pd.DataFrame(
+        {"image_name": df.iloc[te]["image_name"].values, "y": y[te].astype(float), "prob": p_test}
+    )
+    if outdir is not None:
+        outdir = Path(outdir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        oof_df.to_csv(outdir / "oof_val.csv", index=False)
+        test_df.to_csv(outdir / "pred_test.csv", index=False)
+        save_json(summary, outdir / "summary.json")
+    return {"summary": summary, "oof": oof_df, "test": test_df}

@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# persistent compilation cache — XLA CPU compiles dominate test wall-time on
+# this 1-vCPU machine; the cache makes re-runs near-instant
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mmtrs_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -93,7 +93,9 @@ def synth_images(
         img[..., 0] = 60 + rng.normal(0, 6, (size, size))
         img[..., 1] = 35 + rng.normal(0, 6, (size, size))
         img[..., 2] = 40 + rng.normal(0, 6, (size, size))
-        tooth = np.array([225.0, 218.0, 200.0])[:channels]
+        # yellowish tooth shade — saturation ≈ 75 so the segmenter's
+        # metal-rejection gate (mean sat ≥ 40, segment.py:37-39) passes
+        tooth = np.array([228.0, 208.0, 160.0])[:channels]
         img[mask] = tooth + rng.normal(0, 8, (int(mask.sum()), channels))
         if labels is not None and labels[i] == 1:
             spot = ((xs - cx) ** 2 + (ys - cy) ** 2) <= (size * 0.08) ** 2

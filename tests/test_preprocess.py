@@ -1,0 +1,124 @@
+"""Preprocess pipeline, segmenter, records builder, native loader, CLIs."""
+
+import json
+import numpy as np
+import jax.numpy as jnp
+import pandas as pd
+import pytest
+
+from mmtrs_tpu.config import PreprocessConfig
+from mmtrs_tpu.models.segmenter import SaliencySegmenter
+from mmtrs_tpu.preprocess import min_edge_ok, preprocess_batch
+from tests.synth import synth_images, synth_standardized
+
+
+def test_segmenter_boxes_cover_tooth():
+    imgs = jnp.asarray(synth_images(4, 64, seed=7).astype(np.float32))
+    seg = SaliencySegmenter()
+    boxes, valid = seg.propose_boxes(imgs)
+    assert boxes.shape == (4, 4)
+    b = np.asarray(boxes)
+    # tooth ellipse is centred: box should include the image centre
+    assert (b[:, 0] <= 32).all() and (b[:, 2] >= 32).all()
+    assert (b[:, 1] <= 32).all() and (b[:, 3] >= 32).all()
+    # and be a proper sub-region, not the whole frame
+    areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    assert (areas < 64 * 64).all()
+
+
+def test_segmenter_fallback_on_blank():
+    blank = jnp.full((2, 64, 64, 3), 128.0)
+    seg = SaliencySegmenter()
+    boxes, valid = seg.propose_boxes(blank)
+    assert not bool(valid.any())  # saturation gate rejects gray
+    # fallback = centre square
+    np.testing.assert_allclose(np.asarray(boxes[0]), [0, 0, 64, 64])
+
+
+def test_preprocess_batch_end_to_end():
+    imgs = jnp.asarray(synth_images(2, 64, seed=8).astype(np.float32))
+    out, info = preprocess_batch(imgs, out_size=32)
+    assert out.shape == (2, 32, 32, 3)
+    assert float(out.min()) >= 0 and float(out.max()) <= 255
+    assert info["deskew_angle"].shape == (2,)
+    # no-crop mode (pipeline.py:112-116 supported config)
+    out2, _ = preprocess_batch(imgs, out_size=32, do_crop=False, do_rotate=False)
+    assert out2.shape == (2, 32, 32, 3)
+
+
+def test_min_edge_gate():
+    assert not min_edge_ok((399, 800))
+    assert min_edge_ok((400, 400))
+
+
+def test_records_builder_lineage_and_split():
+    from mmtrs_tpu.data.records import build_augmented_table
+
+    n = 12
+    df = synth_standardized(n, seed=9).drop(columns=["split"])
+    imgs = synth_images(n, 32, seed=10)
+    table, out_imgs = build_augmented_table(
+        df, imgs, n_aug=2, preset="ten", seed=42, test_frac=0.25
+    )
+    assert len(table) == n * 3
+    assert out_imgs.shape == (n * 3, 32, 32, 3)
+    # children inherit parent split and metadata
+    for oid, grp in table.groupby("origin_id"):
+        assert grp["split"].nunique() == 1
+        assert set(grp["aug_idx"]) == {0, 1, 2}
+        assert grp["depth"].nunique() == 1
+    # image_id unique, names normalized to .jpg
+    assert table["image_id"].is_unique
+    assert table["image_name"].str.endswith(".jpg").all()
+    # children named <stem>__augK.jpg
+    kids = table[table["aug_idx"] > 0]
+    assert kids["image_name"].str.contains("__aug").all()
+    # deterministic: rebuild produces identical images
+    table2, out2 = build_augmented_table(
+        df, imgs, n_aug=2, preset="ten", seed=42, test_frac=0.25
+    )
+    np.testing.assert_array_equal(out_imgs, out2)
+
+
+def test_native_loader_roundtrip(tmp_path):
+    from mmtrs_tpu.utils import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    img = synth_images(1, 64, seed=11)[0]
+    p = tmp_path / "x.jpg"
+    native_loader.encode_jpeg(p, img, 95)
+    batch, status = native_loader.decode_batch([p], (64, 64))
+    assert status[0] == 0
+    assert np.abs(batch[0].astype(int) - img.astype(int)).mean() < 6  # jpeg loss
+    # min-edge rejection + error statuses
+    _, st = native_loader.decode_batch([p, tmp_path / "none.jpg"], (64, 64), min_edge=400)
+    assert list(st) == [1, 2]
+
+
+def test_run_pipeline_cli(tmp_path):
+    import run_pipeline
+    from mmtrs_tpu.utils.images import save_jpeg
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    imgs = synth_images(3, 512, seed=12)
+    for i in range(3):
+        save_jpeg(in_dir / f"{i}.jpg", imgs[i])
+    # plus one too-small image → rejected
+    save_jpeg(in_dir / "small.jpg", synth_images(1, 64, seed=13)[0])
+
+    rc = run_pipeline.main(
+        ["--input_dir", str(in_dir), "--output_dir", str(out_dir),
+         "--log_dir", str(tmp_path / "logs"), "--batch_size", "4"]
+    )
+    assert rc == 0
+    outs = sorted(out_dir.glob("*.jpg"))
+    assert len(outs) == 3
+    logs = list((tmp_path / "logs").glob("preprocess_*.json"))
+    assert len(logs) == 1
+    payload = json.loads(logs[0].read_text())
+    assert payload["processed"] == 3
+    statuses = {e["file"]: e["status"] for e in payload["entries"]}
+    assert statuses["small.jpg"] == "rejected_min_edge"
