@@ -146,14 +146,16 @@ class GBDTConfig:
 
     @staticmethod
     def lgbm_like() -> "GBDTConfig":
-        """Soft-target regressor recipe (reference: lightgbm_model.py:59-111)."""
+        """Soft-target regressor recipe (reference: lightgbm_model.py:59-111).
+        min_child_weight=20 mirrors LightGBM's min_data_in_leaf default (the
+        L2 objective has unit hessian per sample)."""
         return GBDTConfig(
             objective="soft_regression",
             n_estimators=1200,
             learning_rate=0.03,
             max_depth=-1,
             num_leaves=31,
-            min_child_weight=1e-3,
+            min_child_weight=20.0,
             gamma=0.0,
             subsample=1.0,
             colsample=1.0,

@@ -46,17 +46,20 @@ def _prefix_sum_lanes(x):
     return x
 
 
-def _hist_lut_kernel(pix_ref, lut_ref, *, area, clip):
+def _hist_lut_kernel(pix_ref, lut_ref, *, area, clip, tiles_per_step):
     limit = max(int(clip * area / N_BINS), 1)
-    pix = pix_ref[0, 0].reshape(area, 1)  # [area, 1] int32
     bins = jax.lax.broadcasted_iota(jnp.int32, (1, N_BINS), 1)
-    hist = jnp.sum((pix == bins).astype(jnp.float32), axis=0, keepdims=True)
-    excess = jnp.sum(jnp.maximum(hist - limit, 0.0))
-    hist = jnp.minimum(hist, float(limit)) + excess / N_BINS
-    cdf = _prefix_sum_lanes(hist)
-    lut_ref[0, 0, 0, :] = jnp.clip(
-        jnp.round(cdf[0] * ((N_BINS - 1) / area)), 0, N_BINS - 1
-    )
+    for j in range(tiles_per_step):  # one grid step owns a whole tile-row
+        pix = pix_ref[0, j, :, :].reshape(area, 1)
+        # bf16 one-hot is exact (0/1) and runs 2x on the VPU; accumulate f32
+        hist = jnp.sum((pix == bins).astype(jnp.bfloat16), axis=0,
+                       keepdims=True, dtype=jnp.float32)
+        excess = jnp.sum(jnp.maximum(hist - limit, 0.0))
+        hist = jnp.minimum(hist, float(limit)) + excess / N_BINS
+        cdf = _prefix_sum_lanes(hist)
+        lut_ref[0, j, 0, :] = jnp.clip(
+            jnp.round(cdf[0] * ((N_BINS - 1) / area)), 0, N_BINS - 1
+        )
 
 
 def _axis_weights(pos, tile_idx, tile_size, n_tiles):
@@ -77,37 +80,38 @@ _APPLY_CHUNK = 512  # pixels per inner step — bounds VMEM temporaries
 
 
 def _apply_kernel(pix_ref, lut_ref, out_ref, *, th, tw, ty, tx):
-    t = pl.program_id(1)
-    i = t // tx
-    j = t % tx
+    i = pl.program_id(1)  # tile-row index; tiles within the row are static
     area = th * tw
-
-    cols = []
-    for dy in range(3):
-        ci = jnp.clip(i + dy - 1, 0, ty - 1)
-        for dx in range(3):
-            cj = jnp.clip(j + dx - 1, 0, tx - 1)
-            cols.append(lut_ref[0, ci * tx + cj, 0, :])
-    W = jnp.stack(cols, axis=1)  # [256, 9]
-
     bins = jax.lax.broadcasted_iota(jnp.int32, (1, N_BINS), 1)
     ch = min(_APPLY_CHUNK, area)
-    for c in range(area // ch):
-        pixc = pix_ref[0, 0, :, c * ch : (c + 1) * ch].reshape(ch, 1)
-        onehot = (pixc == bins).astype(jnp.float32)  # [ch, 256]
-        vals = jnp.dot(onehot, W, preferred_element_type=jnp.float32)  # [ch, 9]
 
-        idx = c * ch + jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)
-        row = (idx // tw).astype(jnp.float32)
-        col = (idx % tw).astype(jnp.float32)
-        wy = _axis_weights(row, i, th, ty)  # [ch, 3]
-        wx = _axis_weights(col, j, tw, tx)  # [ch, 3]
-        # quadrant weights for all 9 neighbours in one [ch, 9] product
-        wq = jnp.concatenate(
-            [wy[:, dy : dy + 1] * wx for dy in range(3)], axis=1
-        )
-        outc = jnp.sum(vals * wq, axis=1, keepdims=True)  # [ch, 1]
-        out_ref[0, 0, :, c * ch : (c + 1) * ch] = outc.reshape(1, ch)
+    for j in range(tx):
+        cols = []
+        for dy in range(3):
+            ci = jnp.clip(i + dy - 1, 0, ty - 1)
+            for dx in range(3):
+                cj = min(max(j + dx - 1, 0), tx - 1)
+                cols.append(lut_ref[0, ci * tx + cj, 0, :])
+        # bf16 LUT/one-hot matmul is exact: products are 0/1 x integers
+        # <= 255 (both exactly representable in bf16), accumulated in f32
+        W = jnp.stack(cols, axis=1).astype(jnp.bfloat16)  # [256, 9]
+
+        for c in range(area // ch):
+            pixc = pix_ref[0, j, :, c * ch : (c + 1) * ch].reshape(ch, 1)
+            onehot = (pixc == bins).astype(jnp.bfloat16)  # [ch, 256]
+            vals = jnp.dot(onehot, W, preferred_element_type=jnp.float32)
+
+            idx = c * ch + jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)
+            row = (idx // tw).astype(jnp.float32)
+            col = (idx % tw).astype(jnp.float32)
+            wy = _axis_weights(row, i, th, ty)  # [ch, 3]
+            wx = _axis_weights(col, j, tw, tx)  # [ch, 3]
+            # quadrant weights for all 9 neighbours in one [ch, 9] product
+            wq = jnp.concatenate(
+                [wy[:, dy : dy + 1] * wx for dy in range(3)], axis=1
+            )
+            outc = jnp.sum(vals * wq, axis=1, keepdims=True)  # [ch, 1]
+            out_ref[0, j, :, c * ch : (c + 1) * ch] = outc.reshape(1, ch)
 
 
 @partial(jax.jit, static_argnames=("clip", "tiles"))
@@ -131,36 +135,38 @@ def clahe_pallas(
     )
 
     lut = pl.pallas_call(
-        partial(_hist_lut_kernel, area=area, clip=clip),
+        partial(_hist_lut_kernel, area=area, clip=clip, tiles_per_step=tx),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, N_BINS), jnp.float32),
-        grid=(B, n_tiles),
+        grid=(B, ty),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, area), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+                (1, tx, 1, area), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, N_BINS), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+            (1, tx, 1, N_BINS), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(tiled)
 
     out_tiled = pl.pallas_call(
         partial(_apply_kernel, th=th, tw=tw, ty=ty, tx=tx),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, area), jnp.float32),
-        grid=(B, n_tiles),
+        grid=(B, ty),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, area), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+                (1, tx, 1, area), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, n_tiles, 1, N_BINS),
-                lambda b, t: (b, 0, 0, 0),
+                lambda b, i: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, area), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+            (1, tx, 1, area), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(tiled, lut)
 
     # b (ty tx) 1 (th tw) -> b (ty th) (tx tw)

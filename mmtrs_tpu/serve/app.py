@@ -143,7 +143,9 @@ def main(argv=None) -> int:
     p.add_argument("--weights", default="weights")
     args = p.parse_args(argv)
 
-    service = PredictService()  # streams wired in by the deployment script
+    from mmtrs_tpu.serve.ensembles import build_service_from_weights
+
+    service = build_service_from_weights(args.weights)
     try:  # pragma: no cover
         app = build_gradio_app(service)
         app.launch(server_name=args.host, server_port=args.port)

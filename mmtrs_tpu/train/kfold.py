@@ -234,7 +234,11 @@ class KFoldHardTrainer:
             train=False,
         )
         state = TrainState.create(variables, self.tx)
-        ema_params = variables["params"] if cfg.ema_decay > 0 else None
+        # EMA must own copies: variables["params"] aliases state.params,
+        # which the first (donating) train step deletes
+        from mmtrs_tpu.train.common import snapshot
+
+        ema_params = snapshot(variables["params"]) if cfg.ema_decay > 0 else None
 
         rng = np.random.default_rng(cfg.seed)
         best = {"auc": -np.inf, "state": state, "since": 0}

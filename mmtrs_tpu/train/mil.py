@@ -148,6 +148,7 @@ def run_mil_kfold(
     cfg: MILConfig = MILConfig(),
     outdir=None,
     epochs: int | None = None,
+    save_ckpts: bool = False,
     log=print,
 ) -> dict:
     """5-fold GroupKFold driver → oof_val.csv / pred_test.csv / summary.json
@@ -174,6 +175,18 @@ def run_mil_kfold(
         oof[va_rel] = trainer.predict_proba(state, images[va], origin[va])
         test_probs.append(trainer.predict_proba(state, images[te], origin[te]))
         fold_aucs.append(val_auc)
+        if save_ckpts and outdir is not None:
+            from pathlib import Path as _P
+
+            from mmtrs_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                _P(outdir) / f"mil_v1_fold{fold}",
+                {"params": state.params, "batch_stats": state.batch_stats},
+                recipe={"model_name": cfg.model_name, "attn_dim": cfg.attn_dim,
+                        "img_size": cfg.img_size, "bag_size": cfg.bag_size,
+                        "fold": fold},
+            )
         log(f"[mil fold {fold}] val_auc {val_auc:.4f}")
 
     p_test = np.mean(test_probs, axis=0)

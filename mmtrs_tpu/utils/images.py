@@ -51,7 +51,10 @@ def iter_batches(
     (default: the batch max size rounded to /8) before stacking. Images with
     min edge < ``min_edge`` are rejected (pipeline.py:80). When a fixed
     ``target_hw`` is given and every file is a JPEG, the C++ threaded loader
-    decodes the whole chunk in one call."""
+    decodes the whole chunk in one call.
+
+    ``rejected_paths`` entries are (path, reason) with reason in
+    {"min_edge", "decode_error"}."""
     if target_hw is not None and use_native and all(
         p.suffix.lower() in (".jpg", ".jpeg") for p in paths
     ):
@@ -65,7 +68,11 @@ def iter_batches(
                 )
                 ok_mask = status == 0
                 ok = [p for p, m in zip(chunk, ok_mask) if m]
-                rejected = [p for p, m in zip(chunk, ok_mask) if not m]
+                rejected = [
+                    (p, "min_edge" if st == 1 else "decode_error")
+                    for p, st in zip(chunk, status)
+                    if st != 0
+                ]
                 yield ok, batch[ok_mask], rejected
             return
 
@@ -76,10 +83,10 @@ def iter_batches(
             try:
                 a = load_image(p)
             except Exception:
-                rejected.append(p)
+                rejected.append((p, "decode_error"))
                 continue
             if min_edge and min(a.shape[:2]) < min_edge:
-                rejected.append(p)
+                rejected.append((p, "min_edge"))
                 continue
             imgs.append(a)
             ok.append(p)

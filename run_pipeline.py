@@ -61,8 +61,8 @@ def main(argv=None) -> int:
     for ok_paths, batch, rejected in iter_batches(
         paths, args.batch_size, min_edge=cfg.min_edge_px
     ):
-        for r in rejected:
-            logs.append({"file": r.name, "status": "rejected_min_edge"})
+        for r, reason in rejected:
+            logs.append({"file": r.name, "status": f"rejected_{reason}"})
         if not len(batch):
             continue
         out, info = preprocess_numpy(batch, cfg)
