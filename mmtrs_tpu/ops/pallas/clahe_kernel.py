@@ -47,13 +47,28 @@ def _prefix_sum_lanes(x):
 
 
 def _hist_lut_kernel(pix_ref, lut_ref, *, area, clip, tiles_per_step):
+    """Two-level one-hot histogram: bin v = hi·16 + lo. The 256-bin count
+    matrix is ``OHᵀ @ OL`` where OH/OL are the [area, 16] hi/lo one-hots —
+    one tiny MXU matmul instead of a [area, 256] VPU compare-sum (8× less
+    vector work). Counts are exact: 0/1 products, f32 accumulation."""
     limit = max(int(clip * area / N_BINS), 1)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (1, N_BINS), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+    # flatten-mask: [16, 256] with mask[hi, v] = (v >> 4 == hi); Mosaic has
+    # no (16,16)→(1,256) shape cast, so the flatten is repeat+mask+reduce
+    vbins = jax.lax.broadcasted_iota(jnp.int32, (16, N_BINS), 1)
+    hrows = jax.lax.broadcasted_iota(jnp.int32, (16, N_BINS), 0)
+    flat_mask = ((vbins >> 4) == hrows).astype(jnp.float32)
     for j in range(tiles_per_step):  # one grid step owns a whole tile-row
         pix = pix_ref[0, j, :, :].reshape(area, 1)
-        # bf16 one-hot is exact (0/1) and runs 2x on the VPU; accumulate f32
-        hist = jnp.sum((pix == bins).astype(jnp.bfloat16), axis=0,
-                       keepdims=True, dtype=jnp.float32)
+        oh = ((pix >> 4) == sub).astype(jnp.bfloat16)  # [area, 16]
+        ol = ((pix & 15) == sub).astype(jnp.bfloat16)
+        counts = jax.lax.dot_general(
+            oh, ol, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [16, 16]: counts[hi, lo]
+        hist = jnp.sum(
+            pltpu.repeat(counts, 16, axis=1) * flat_mask, axis=0, keepdims=True
+        )  # [1, 256]
         excess = jnp.sum(jnp.maximum(hist - limit, 0.0))
         hist = jnp.minimum(hist, float(limit)) + excess / N_BINS
         cdf = _prefix_sum_lanes(hist)
