@@ -91,7 +91,10 @@ def _axis_weights(pos, tile_idx, tile_size, n_tiles):
     return (d0 == ds) * (1.0 - w1) + (d1 == ds) * w1
 
 
-_APPLY_CHUNK = 512  # pixels per inner step — bounds VMEM temporaries
+_APPLY_CHUNK = 512  # pixels per inner step — bounds VMEM temporaries.
+# Known perf ceiling (round-2 target): the [ch, 1]/[ch, 9] temporaries use
+# 1-9 of 128 lanes (~7% VPU utilization); a [*, 128]-major pixel layout for
+# the weight/select stage is the next big win. Measured equal at ch=4096.
 
 
 def _apply_kernel(pix_ref, lut_ref, out_ref, *, th, tw, ty, tx):
