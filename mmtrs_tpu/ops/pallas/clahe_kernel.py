@@ -6,22 +6,25 @@ on the LAB L channel — normalise.py:10-16); tests assert elementwise
 equality against it.
 
 Layout: images are pre-tiled host-side to ``[B, ty·tx, 1, th·tw]`` (one XLA
-transpose); in-kernel the only reshape is (1, area)→(area, 1), one of the
-few shape-casts Mosaic supports (lane→sublane roll-up).
+transpose). Everything in-kernel is **lane-major**: a tile's pixels live
+along the 4096-lane axis, so every vector op runs at full VPU width —
+earlier kernel iterations used [pixels, small] layouts and wasted
+127/128 lanes.
 
-Kernel 1 (``_hist_lut_kernel``), grid (B, n_tiles):
-    one tile's pixels [th·tw, 1] compare-sum against the 256-bin iota (VPU)
-    → histogram; clip → even excess redistribution → prefix sum via
-    log-step roll-adds (no Mosaic cumsum) → LUT [256].
+Kernel 1 (``_hist_lut_kernel``), grid (B, ty):
+    two-level one-hot histogram — bin v = hi·16 + lo; the 256-bin count
+    matrix is ``OH @ OLᵀ`` with OH/OL the [16, area] nibble one-hots (one
+    tiny MXU matmul); flatten via repeat+mask (Mosaic has no (16,16)→(1,256)
+    shape cast); clip → even redistribution → log-roll prefix sum → LUT.
 
-Kernel 2 (``_apply_kernel``), grid (B, n_tiles):
-    CLAHE's per-pixel "gather from 4 neighbouring tile LUTs and bilinear
-    blend" recast as ONE MXU matmul per tile: the 9 candidate neighbour LUTs
-    (3×3 clamped window) form a [256, 9] matrix W; the tile one-hot-encodes
-    to [th·tw, 256]; ``onehot @ W`` evaluates every pixel under every
-    candidate LUT and bilinear weights (zero outside each pixel's quadrant)
-    combine them. No gathers — TPU has no fast arbitrary gather, but it has
-    a very fast MXU.
+Kernel 2 (``_apply_kernel``), grid (B, ty):
+    CLAHE's per-pixel "gather from 4 neighbouring tile LUTs + bilinear
+    blend" is ``W @ onehot``: the 9 candidate neighbour LUTs (3×3 clamped
+    window) form W [9, 256]; pixels one-hot to [256, area]; the product
+    [9, area] holds every pixel under every candidate LUT, combined by
+    precomputed quadrant weights (exact k/tile fractions, host-computed per
+    clamp pattern — 3×3 variants — selected by tile position). No gathers
+    anywhere: TPU has no fast arbitrary gather, but it has a very fast MXU.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,23 +51,18 @@ def _prefix_sum_lanes(x):
 
 
 def _hist_lut_kernel(pix_ref, lut_ref, *, area, clip, tiles_per_step):
-    """Two-level one-hot histogram: bin v = hi·16 + lo. The 256-bin count
-    matrix is ``OHᵀ @ OL`` where OH/OL are the [area, 16] hi/lo one-hots —
-    one tiny MXU matmul instead of a [area, 256] VPU compare-sum (8× less
-    vector work). Counts are exact: 0/1 products, f32 accumulation."""
     limit = max(int(clip * area / N_BINS), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
-    # flatten-mask: [16, 256] with mask[hi, v] = (v >> 4 == hi); Mosaic has
-    # no (16,16)→(1,256) shape cast, so the flatten is repeat+mask+reduce
+    sub = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    # flatten-mask: [16, 256] with mask[hi, v] = (v >> 4 == hi)
     vbins = jax.lax.broadcasted_iota(jnp.int32, (16, N_BINS), 1)
     hrows = jax.lax.broadcasted_iota(jnp.int32, (16, N_BINS), 0)
     flat_mask = ((vbins >> 4) == hrows).astype(jnp.float32)
     for j in range(tiles_per_step):  # one grid step owns a whole tile-row
-        pix = pix_ref[0, j, :, :].reshape(area, 1)
-        oh = ((pix >> 4) == sub).astype(jnp.bfloat16)  # [area, 16]
+        pix = pix_ref[0, j, :, :]  # [1, area] — lane-major
+        oh = ((pix >> 4) == sub).astype(jnp.bfloat16)  # [16, area]
         ol = ((pix & 15) == sub).astype(jnp.bfloat16)
         counts = jax.lax.dot_general(
-            oh, ol, (((0,), (0,)), ((), ())),
+            oh, ol, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [16, 16]: counts[hi, lo]
         hist = jnp.sum(
@@ -77,31 +76,47 @@ def _hist_lut_kernel(pix_ref, lut_ref, *, area, clip, tiles_per_step):
         )
 
 
-def _axis_weights(pos, tile_idx, tile_size, n_tiles):
-    """[area, 3] bilinear weights over the 3 candidate neighbour tiles.
-
-    pos: [area, 1] float local coordinate along this axis."""
+def _axis_weight_pattern(tile_idx: int, tile_size: int, n_tiles: int) -> np.ndarray:
+    """[tile_size, 3] bilinear weights over the 3 candidate neighbour tiles
+    for a given tile position (host-side, exact)."""
+    pos = np.arange(tile_size, dtype=np.float64)
     g = (tile_idx * tile_size + pos + 0.5) / tile_size - 0.5
-    t0 = jnp.clip(jnp.floor(g), 0, n_tiles - 1)
-    t1 = jnp.minimum(t0 + 1, n_tiles - 1)
-    w1 = jnp.clip(g - t0, 0.0, 1.0)
-    d0 = (t0 - (tile_idx - 1)).astype(jnp.int32)  # ∈ {0,1,2}
-    d1 = (t1 - (tile_idx - 1)).astype(jnp.int32)
-    ds = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
-    return (d0 == ds) * (1.0 - w1) + (d1 == ds) * w1
+    t0 = np.clip(np.floor(g), 0, n_tiles - 1)
+    t1 = np.minimum(t0 + 1, n_tiles - 1)
+    w1 = np.clip(g - t0, 0.0, 1.0)
+    out = np.zeros((tile_size, 3))
+    d0 = (t0 - (tile_idx - 1)).astype(int)
+    d1 = (t1 - (tile_idx - 1)).astype(int)
+    for r in range(tile_size):
+        out[r, d0[r]] += 1.0 - w1[r]
+        out[r, d1[r]] += w1[r]
+    return out
 
 
-_APPLY_CHUNK = 512  # pixels per inner step — bounds VMEM temporaries.
-# Known perf ceiling (round-2 target): the [ch, 1]/[ch, 9] temporaries use
-# 1-9 of 128 lanes (~7% VPU utilization); a [*, 128]-major pixel layout for
-# the weight/select stage is the next big win. Measured equal at ch=4096.
+def _quadrant_weight_variants(th, tw, ty, tx) -> np.ndarray:
+    """[3, 3, 9, th·tw] f32: quadrant weights for every (row-clamp-pattern,
+    col-clamp-pattern) — first / interior / last tile along each axis."""
+
+    def patterns(tile_size, n_tiles):
+        idxs = [0, min(1, n_tiles - 1), n_tiles - 1]
+        return [_axis_weight_pattern(i, tile_size, n_tiles) for i in idxs]
+
+    wys = patterns(th, ty)
+    wxs = patterns(tw, tx)
+    out = np.zeros((3, 3, 9, th * tw), dtype=np.float32)
+    for pi in range(3):
+        for pj in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    w = np.outer(wys[pi][:, dy], wxs[pj][:, dx])  # [th, tw]
+                    out[pi, pj, dy * 3 + dx] = w.reshape(-1)
+    return out
 
 
-def _apply_kernel(pix_ref, lut_ref, out_ref, *, th, tw, ty, tx):
+def _apply_kernel(pix_ref, lut_ref, wq_ref, out_ref, *, th, tw, ty, tx):
     i = pl.program_id(1)  # tile-row index; tiles within the row are static
-    area = th * tw
-    bins = jax.lax.broadcasted_iota(jnp.int32, (1, N_BINS), 1)
-    ch = min(_APPLY_CHUNK, area)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, 1), 0)
+    sel_i = jnp.where(i == 0, 0, jnp.where(i == ty - 1, 2, 1))
 
     for j in range(tx):
         cols = []
@@ -110,26 +125,17 @@ def _apply_kernel(pix_ref, lut_ref, out_ref, *, th, tw, ty, tx):
             for dx in range(3):
                 cj = min(max(j + dx - 1, 0), tx - 1)
                 cols.append(lut_ref[0, ci * tx + cj, 0, :])
-        # bf16 LUT/one-hot matmul is exact: products are 0/1 x integers
-        # <= 255 (both exactly representable in bf16), accumulated in f32
-        W = jnp.stack(cols, axis=1).astype(jnp.bfloat16)  # [256, 9]
+        # bf16 LUT/one-hot matmul is exact: products are 0/1 × integers
+        # ≤ 255 (both exactly representable in bf16), accumulated in f32
+        W = jnp.stack(cols, axis=0).astype(jnp.bfloat16)  # [9, 256]
 
-        for c in range(area // ch):
-            pixc = pix_ref[0, j, :, c * ch : (c + 1) * ch].reshape(ch, 1)
-            onehot = (pixc == bins).astype(jnp.bfloat16)  # [ch, 256]
-            vals = jnp.dot(onehot, W, preferred_element_type=jnp.float32)
+        pix = pix_ref[0, j, :, :]  # [1, area]
+        onehot = (pix == bins).astype(jnp.bfloat16)  # [256, area]
+        vals = jnp.dot(W, onehot, preferred_element_type=jnp.float32)  # [9, area]
 
-            idx = c * ch + jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)
-            row = (idx // tw).astype(jnp.float32)
-            col = (idx % tw).astype(jnp.float32)
-            wy = _axis_weights(row, i, th, ty)  # [ch, 3]
-            wx = _axis_weights(col, j, tw, tx)  # [ch, 3]
-            # quadrant weights for all 9 neighbours in one [ch, 9] product
-            wq = jnp.concatenate(
-                [wy[:, dy : dy + 1] * wx for dy in range(3)], axis=1
-            )
-            outc = jnp.sum(vals * wq, axis=1, keepdims=True)  # [ch, 1]
-            out_ref[0, j, :, c * ch : (c + 1) * ch] = outc.reshape(1, ch)
+        sel_j = 0 if j == 0 else (2 if j == tx - 1 else 1)
+        wq = wq_ref[sel_i, sel_j]  # [9, area] — exact k/tile fractions
+        out_ref[0, j, :, :] = jnp.sum(vals * wq, axis=0, keepdims=True)
 
 
 @partial(jax.jit, static_argnames=("clip", "tiles"))
@@ -151,6 +157,7 @@ def clahe_pallas(
         .transpose(0, 1, 3, 2, 4)
         .reshape(B, n_tiles, 1, area)
     )
+    wq = jnp.asarray(_quadrant_weight_variants(th, tw, ty, tx))
 
     lut = pl.pallas_call(
         partial(_hist_lut_kernel, area=area, clip=clip, tiles_per_step=tx),
@@ -180,12 +187,15 @@ def clahe_pallas(
                 lambda b, i: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (3, 3, 9, area), lambda b, i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, tx, 1, area), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(tiled, lut)
+    )(tiled, lut, wq)
 
     # b (ty tx) 1 (th tw) -> b (ty th) (tx tw)
     return (
