@@ -14,7 +14,7 @@ Covers two reference trainers:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -113,7 +113,6 @@ class KFoldConfig:
     batch_size: int = 8
     grad_accum: int = 1
     lr: float = 3e-4
-    head_lr: float = 1e-3
     weight_decay: float = 1e-4
     n_folds: int = 5
     seed: int = 42

@@ -46,6 +46,8 @@ class MILTrainer:
             logit, _ = outputs
             return bce_logits(logit, batch["y"])
 
+        import optax
+
         def step(state: TrainState, batch):
             def compute(params):
                 variables = {"params": params, "batch_stats": state.batch_stats}
@@ -57,8 +59,6 @@ class MILTrainer:
                 return loss_fn(outputs, batch), mut
 
             (loss, mut), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
-            import optax
-
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (

@@ -18,14 +18,13 @@ the 1-D mesh.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mmtrs_tpu.config import VisionTrainConfig
-from mmtrs_tpu.metrics import binary_report, roc_auc, sweep_thresholds, threshold_grid
+from mmtrs_tpu.metrics import binary_report, sweep_thresholds, threshold_grid
 from mmtrs_tpu.models.backbones.factory import create_model
 from mmtrs_tpu.ops.resize import resize_bilinear
 from mmtrs_tpu.train.common import (
@@ -63,14 +62,12 @@ class VisionTrainer:
         self.cfg = cfg
         self.mesh = mesh
         self.aug_preset = aug_preset
-        pos_bias = 0.0
         self.model = create_model(
             cfg.model_name,
             num_classes=2 if cfg.task == "hard" else 1,
             drop_rate=cfg.drop_rate,
             drop_path=cfg.drop_path,
             dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
-            head_bias_init=pos_bias,
         )
 
     # -- setup -------------------------------------------------------------

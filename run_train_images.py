@@ -60,9 +60,10 @@ def load_vision_dataset(df, image_dir, img_size):
         images=np.stack(imgs),
         y=sub["y_majority"].astype(int).to_numpy(),
         p=sub.get("p_indirect", sub["y_majority"]).astype(float).to_numpy(),
-        w=sub.get("weight", 1.0 * sub["y_majority"] ** 0 if "weight" not in sub else sub["weight"]).astype(float).to_numpy()
-        if "weight" in sub else np.ones(len(sub), np.float32),
-        origin_id=sub["origin_id"].to_numpy() if "origin_id" in sub else np.arange(len(sub)),
+        w=(sub["weight"].astype(float).to_numpy()
+           if "weight" in sub else np.ones(len(sub), np.float32)),
+        origin_id=(sub["origin_id"].to_numpy() if "origin_id" in sub
+                   else np.arange(len(sub))),
         aug_idx=sub["aug_idx"].to_numpy() if "aug_idx" in sub else None,
     ), sub
 
