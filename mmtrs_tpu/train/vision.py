@@ -243,3 +243,15 @@ def ensemble_predict(trainer: VisionTrainer, states: list, data: VisionData,
     m = np.mean(logits, axis=0)
     m = np.nan_to_num(m, nan=0.0)  # NaN repair
     return 1.0 / (1.0 + np.exp(-m))
+
+
+def per_model_aucs(trainer: VisionTrainer, states: list, data: VisionData,
+                   tta: bool = True) -> list[float]:
+    """Per-member AUC diagnostics to spot a bad seed before it drags the
+    ensemble (ensemble_hard.py:122-137)."""
+    from mmtrs_tpu.metrics import roc_auc
+
+    return [
+        roc_auc(data.y, trainer.predict_proba(st, data, tta=tta))
+        for st in states
+    ]

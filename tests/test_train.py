@@ -60,12 +60,17 @@ def test_soft_trainer_learns(vision_dataset):
 
 
 def test_ensemble_predict_nan_safe(vision_dataset):
+    from mmtrs_tpu.train.vision import per_model_aucs
+
     train, val, test = vision_dataset
     t = VisionTrainer(_small_cfg("hard", epochs=2))
     s1, _ = t.fit(train, val)
     p = ensemble_predict(t, [s1, s1], test)
     assert np.isfinite(p).all()
     assert ((p >= 0) & (p <= 1)).all()
+    # per-member diagnostics (ensemble_hard.py:122-137 parity)
+    aucs = per_model_aucs(t, [s1, s1], test)
+    assert len(aucs) == 2 and aucs[0] == aucs[1]
 
 
 def test_mil_trainer_learns():
