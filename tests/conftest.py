@@ -1,8 +1,11 @@
-"""Test harness: hermetic, CPU-only, 8 virtual devices.
+"""Test harness configuration.
 
-Multi-chip sharding paths are validated on a virtual 8-device CPU mesh
-(XLA_FLAGS host-platform device count), per the design brief. This must run
-before jax initializes its backends, hence env mutation at import time.
+Platform policy: `setdefault` — when the ambient environment pins a platform
+(this machine exports JAX_PLATFORMS=axon → the real TPU), the suite runs
+there, which additionally activates the TPU-only Pallas bit-exactness tests
+(test_pallas_tpu.py). With no ambient platform the suite is hermetic
+CPU-only with 8 virtual devices for the multi-chip sharding paths. Env
+mutation happens at import time, before jax initializes its backends.
 """
 
 import os
