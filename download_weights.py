@@ -4,14 +4,12 @@
 The reference downloads the COCO-pretrained torchvision Mask R-CNN state
 dict to models/segmenter/mask_rcnn_molar.pt (download_weights.py:14-29;
 note it is NOT a fine-tuned molar model despite the filename —
-segment.py:18-20). This environment has no network egress and the round-1
-TPU segmenter is the classical saliency proposer (mmtrs_tpu/models/
-segmenter.py), which needs no weights. This script therefore:
-
-1. writes the segmenter config stub at the reference path so downstream
-   tooling that checks for its existence keeps working;
-2. if a local torch Mask R-CNN checkpoint is supplied (--torch_ckpt), logs
-   it for the future learned-detector conversion path.
+segment.py:18-20). This environment has no network egress, so instead of
+downloading this script *converts*: given a local torchvision checkpoint
+(--torch_ckpt, a .pt/.pth state_dict), it maps the weights into the JAX
+Mask R-CNN (mmtrs_tpu/models/detection) and saves them where
+run_pipeline.py --model_path picks them up. Without a checkpoint it writes
+the config stub for the classical saliency fallback segmenter.
 """
 
 from __future__ import annotations
@@ -22,14 +20,50 @@ import sys
 from pathlib import Path
 
 
+def convert_torch_ckpt(ckpt_path: Path, out_dir: Path) -> Path:
+    """torchvision maskrcnn_resnet50_fpn state_dict → Orbax checkpoint +
+    recipe sidecar (consumable by MaskRCNNSegmenter via load_detector)."""
+    import torch  # CPU torch is available in this image
+
+    from mmtrs_tpu.models.detection import DetectorConfig, convert_state_dict
+    from mmtrs_tpu.utils.checkpoint import save_checkpoint
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    cfg = DetectorConfig()
+    variables = convert_state_dict(sd, cfg)
+    out = out_dir / "mask_rcnn_molar"
+    save_checkpoint(
+        out,
+        variables,
+        recipe={
+            "kind": "maskrcnn_resnet50_fpn",
+            "img_size": cfg.img_size,
+            "num_classes": cfg.num_classes,
+            "source": str(ckpt_path),
+        },
+    )
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--out", default="models/segmenter/mask_rcnn_molar.json")
-    p.add_argument("--torch_ckpt", default=None)
+    p.add_argument("--out_dir", default="models/segmenter")
+    p.add_argument("--torch_ckpt", default=None,
+                   help="local torchvision maskrcnn_resnet50_fpn state_dict")
     args = p.parse_args(argv)
 
-    out = Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.torch_ckpt:
+        out = convert_torch_ckpt(Path(args.torch_ckpt), out_dir)
+        print(f"converted torchvision weights → {out}")
+        return 0
+
     cfg = {
         "segmenter": "saliency",
         "params": {
@@ -37,13 +71,13 @@ def main(argv=None) -> int:
             "quantile": 0.80,
             "centre_sigma_frac": 0.5,
         },
-        "note": "classical saliency proposer; drop-in learned detector "
-                "uses the same propose_boxes contract",
+        "note": "no egress: COCO weights unavailable; classical saliency "
+                "proposer active. Supply --torch_ckpt to convert the "
+                "torchvision Mask R-CNN into the learned JAX segmenter.",
     }
-    if args.torch_ckpt:
-        cfg["torch_ckpt"] = str(Path(args.torch_ckpt).resolve())
-    out.write_text(json.dumps(cfg, indent=2))
-    print(f"wrote segmenter config to {out}")
+    stub = out_dir / "mask_rcnn_molar.json"
+    stub.write_text(json.dumps(cfg, indent=2))
+    print(f"wrote segmenter config to {stub}")
     return 0
 
 

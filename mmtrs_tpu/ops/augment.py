@@ -142,7 +142,14 @@ def _gauss_kernel1d(sigma: float, radius: int):
 
 def elastic(imgs, keys, alpha: float = 10.0, sigma: float = 5.0):
     """ElasticTransform(α, σ): uniform(-1,1) displacement fields smoothed by
-    a Gaussian then scaled by α; constant-border warp."""
+    a Gaussian then scaled by α; constant-border warp.
+
+    Gather-free: the per-pixel displacement is bounded by α, so each axis
+    is resampled with :func:`shift_axis_windowed` (2α+2 static slices —
+    pure bandwidth). The two passes are a separable approximation of joint
+    bilinear sampling — sub-pixel deviation where BOTH fields vary within
+    a pixel, invisible at α=10/σ=5 (SURVEY §7 hard-part 3: distributional
+    parity)."""
     B, H, W, C = imgs.shape
     radius = int(3 * sigma)
     k1d = _gauss_kernel1d(sigma, radius)
@@ -153,15 +160,20 @@ def elastic(imgs, keys, alpha: float = 10.0, sigma: float = 5.0):
         x = jnp.pad(f, ((0, 0), (radius, radius)), mode="edge")
         return sum(x[:, i : i + W] * k1d[i] for i in range(2 * radius + 1))
 
-    def one(img, key):
+    def fields(key):
         k1, k2 = jax.random.split(key)
         dx = smooth(jax.random.uniform(k1, (H, W), minval=-1.0, maxval=1.0)) * alpha
         dy = smooth(jax.random.uniform(k2, (H, W), minval=-1.0, maxval=1.0)) * alpha
-        ys = jnp.arange(H, dtype=jnp.float32)[:, None] + dy
-        xs = jnp.arange(W, dtype=jnp.float32)[None, :] + dx
-        return sample_bilinear(img, ys, xs, border="constant", cval=0.0)
+        return dx, dy
 
-    return jax.vmap(one)(imgs, keys)
+    dx, dy = jax.vmap(fields)(keys)  # [B,H,W] each
+    win = int(np.ceil(alpha)) + 1
+    out = shift_axis_windowed(imgs, dy, win, axis=1)
+    out = shift_axis_windowed(out, dx, win, axis=2)
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None] + dy
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :] + dx
+    inside = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+    return jnp.where(inside[..., None], out, 0.0)
 
 
 def coarse_dropout(imgs, keys, hole: int):

@@ -68,3 +68,16 @@ def data_parallel_jit(step_fn, mesh: Mesh, axis_name: str = "data", donate_state
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def data_parallel_eval_jit(eval_fn, mesh: Mesh, n_sharded_args: int = 1, axis_name: str = "data"):
+    """jit an eval step ``(state, *batch_args) -> outputs`` with replicated
+    state, the trailing ``n_sharded_args`` positional args batch-sharded, and
+    batch-sharded outputs (no collective needed; each chip scores its shard)."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        eval_fn,
+        in_shardings=(repl,) + (shard,) * n_sharded_args,
+        out_shardings=shard,
+    )

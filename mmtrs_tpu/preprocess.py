@@ -41,7 +41,10 @@ def _use_pallas() -> bool:
 
 @partial(
     jax.jit,
-    static_argnames=("out_size", "do_crop", "do_rotate", "clahe_clip", "tiles", "use_pallas"),
+    static_argnames=(
+        "out_size", "do_crop", "do_rotate", "clahe_clip", "tiles", "use_pallas",
+        "segmenter",
+    ),
 )
 def preprocess_batch(
     imgs: jnp.ndarray,
@@ -52,6 +55,7 @@ def preprocess_batch(
     tiles: tuple[int, int] = (8, 8),
     crop_margin: float = 15.0,
     use_pallas: bool = False,
+    segmenter=None,
 ):
     """imgs: [B, H, W, 3] uint8/float 0..255 → (out [B,512,512,3] f32,
     info dict with seg_valid / deskew_angle)."""
@@ -69,9 +73,12 @@ def preprocess_batch(
     else:
         angle = jnp.zeros(x.shape[0])
 
-    # 3. segmentation crop with centre fallback (pipeline.py:84-116)
+    # 3. segmentation crop with centre fallback (pipeline.py:84-116);
+    # `segmenter` (static) plugs in any Segmenter-protocol proposer — the
+    # learned MaskRCNNSegmenter when converted COCO weights exist, the
+    # classical saliency proposer otherwise
     if do_crop:
-        seg = SaliencySegmenter()
+        seg = segmenter if segmenter is not None else SaliencySegmenter()
         boxes, valid = seg.propose_boxes(x)
     else:
         B, H, W, _ = x.shape
@@ -91,7 +98,7 @@ def min_edge_ok(shape_hw: tuple[int, int], cfg: PreprocessConfig = PreprocessCon
 
 
 def preprocess_numpy(
-    imgs: np.ndarray, cfg: PreprocessConfig = PreprocessConfig()
+    imgs: np.ndarray, cfg: PreprocessConfig = PreprocessConfig(), segmenter=None
 ) -> tuple[np.ndarray, dict]:
     """Convenience host API with config object."""
     out, info = preprocess_batch(
@@ -103,5 +110,6 @@ def preprocess_numpy(
         tiles=cfg.clahe_tiles,
         crop_margin=float(cfg.crop_margin_px),
         use_pallas=_use_pallas(),
+        segmenter=segmenter,
     )
     return np.asarray(out), {k: np.asarray(v) for k, v in info.items()}

@@ -130,8 +130,13 @@ class KFoldConfig:
 class KFoldHardTrainer:
     """Single-logit BCE k-fold trainer with the v2/v3 training tricks."""
 
-    def __init__(self, cfg: KFoldConfig):
+    def __init__(self, cfg: KFoldConfig, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None and cfg.batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.size}"
+            )
         self.model = create_model(
             cfg.model_name, num_classes=1,
             dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
@@ -186,12 +191,19 @@ class KFoldHardTrainer:
                 {"loss": loss, "grad_norm": gnorm, "logit_std": jnp.std(logit)},
             )
 
-        self._train_step = jax.jit(step, donate_argnums=(0,))
-        self._eval_step = jax.jit(
-            lambda st, x: model.apply(
+        def eval_fn(st, x):
+            return model.apply(
                 {"params": st.params, "batch_stats": st.batch_stats}, x, train=False
             )[..., 0]
-        )
+
+        if self.mesh is None:
+            self._train_step = jax.jit(step, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_fn)
+        else:
+            from mmtrs_tpu.parallel.mesh import data_parallel_eval_jit, data_parallel_jit
+
+            self._train_step = data_parallel_jit(step, self.mesh)
+            self._eval_step = data_parallel_eval_jit(eval_fn, self.mesh)
 
     def _prep(self, imgs):
         x = jnp.asarray(imgs, jnp.float32)
@@ -317,6 +329,7 @@ def run_hard_kfold(
     outdir=None,
     epochs: int | None = None,
     via_folds: pd.DataFrame | None = None,
+    mesh=None,
     log=print,
 ) -> dict:
     """StratifiedGroupKFold driver (or pre-exported fold table via
@@ -332,7 +345,7 @@ def run_hard_kfold(
     is_test = (df["split"] == "test").to_numpy()
     tv = np.nonzero(~is_test)[0]
     te = np.nonzero(is_test)[0]
-    trainer = KFoldHardTrainer(cfg)
+    trainer = KFoldHardTrainer(cfg, mesh=mesh)
 
     if via_folds is not None:
         folds = via_folds["fold"].to_numpy()

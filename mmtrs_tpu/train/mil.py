@@ -28,8 +28,13 @@ from mmtrs_tpu.utils.rng import keys_for_batch
 
 
 class MILTrainer:
-    def __init__(self, cfg: MILConfig):
+    def __init__(self, cfg: MILConfig, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None and cfg.batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.size}"
+            )
         self.model = MILNet(model_name=cfg.model_name, attn_dim=cfg.attn_dim)
 
     def init_state(self, total_steps: int) -> TrainState:
@@ -67,12 +72,19 @@ class MILTrainer:
                 loss,
             )
 
-        self._train_step = jax.jit(step, donate_argnums=(0,))
-        self._eval_step = jax.jit(
-            lambda st, bags: self.model.apply(
+        def eval_fn(st, bags):
+            return self.model.apply(
                 {"params": st.params, "batch_stats": st.batch_stats}, bags, train=False
             )[0]
-        )
+
+        if self.mesh is None:
+            self._train_step = jax.jit(step, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_fn)
+        else:
+            from mmtrs_tpu.parallel.mesh import data_parallel_eval_jit, data_parallel_jit
+
+            self._train_step = data_parallel_jit(step, self.mesh)
+            self._eval_step = data_parallel_eval_jit(eval_fn, self.mesh)
         return state
 
     def _make_train_bags(self, imgs: np.ndarray, seed: int, origin_ids) -> jnp.ndarray:
@@ -149,6 +161,7 @@ def run_mil_kfold(
     outdir=None,
     epochs: int | None = None,
     save_ckpts: bool = False,
+    mesh=None,
     log=print,
 ) -> dict:
     """5-fold GroupKFold driver → oof_val.csv / pred_test.csv / summary.json
@@ -167,7 +180,7 @@ def run_mil_kfold(
     oof = np.full(len(tv), np.nan)
     test_probs = []
     fold_aucs = []
-    trainer = MILTrainer(cfg)
+    trainer = MILTrainer(cfg, mesh=mesh)
     df_tv = df.iloc[tv].reset_index(drop=True)
     for fold, (tr_rel, va_rel) in enumerate(group_kfold(df_tv, cfg.n_folds)):
         tr, va = tv[tr_rel], tv[va_rel]

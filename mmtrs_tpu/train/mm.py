@@ -60,8 +60,13 @@ def mm_fold_splits(df_tv: pd.DataFrame, n_folds: int):
 
 
 class MMTrainer:
-    def __init__(self, cfg: MMJointConfig):
+    def __init__(self, cfg: MMJointConfig, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None and cfg.batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.size}"
+            )
         self.model = MMJointDualHead(
             model_name=cfg.model_name,
             tab_hidden=cfg.tab_hidden,
@@ -108,13 +113,20 @@ class MMTrainer:
                 loss,
             )
 
-        self._train_step = jax.jit(step, donate_argnums=(0,))
-        self._eval_step = jax.jit(
-            lambda st, img, tab: self.model.apply(
+        def eval_fn(st, img, tab):
+            return self.model.apply(
                 {"params": st.params, "batch_stats": st.batch_stats}, img, tab,
                 train=False,
             )[0]
-        )
+
+        if self.mesh is None:
+            self._train_step = jax.jit(step, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_fn)
+        else:
+            from mmtrs_tpu.parallel.mesh import data_parallel_eval_jit, data_parallel_jit
+
+            self._train_step = data_parallel_jit(step, self.mesh)
+            self._eval_step = data_parallel_eval_jit(eval_fn, self.mesh, n_sharded_args=2)
         return state
 
     def _prep(self, imgs: np.ndarray) -> jnp.ndarray:
@@ -194,6 +206,7 @@ def run_mm_kfold(
     outdir=None,
     epochs: int | None = None,
     save_ckpts: bool = False,
+    mesh=None,
     log=print,
 ) -> dict:
     """5-fold GroupKFold driver → oof_val.csv / pred_test.csv / summary.json
@@ -212,7 +225,7 @@ def run_mm_kfold(
     tv = np.nonzero(~is_test)[0]
     te = np.nonzero(is_test)[0]
 
-    trainer = MMTrainer(cfg)
+    trainer = MMTrainer(cfg, mesh=mesh)
     df_tv = df.iloc[tv].reset_index(drop=True)
     oof = np.full(len(tv), np.nan)
     test_probs, fold_summaries = [], []

@@ -8,10 +8,11 @@ Usage:
 
 Differences by design (TPU-first): images are decoded on the host, batched,
 and pushed through ONE jit-compiled device pipeline (CLAHE → deskew →
-segment-crop with centre fallback → 512²) instead of per-image OpenCV calls;
-``--model_path`` is accepted for CLI compatibility but the round-1 segmenter
-is the classical saliency proposer (models/segmenter.py) — a learned
-detector drops into the same box contract later.
+segment-crop with centre fallback → 512²) instead of per-image OpenCV calls.
+``--model_path`` takes a converted Mask R-CNN checkpoint (see
+download_weights.py --torch_ckpt) and activates the learned JAX detector
+(mmtrs_tpu/models/detection); otherwise the classical saliency proposer
+(models/segmenter.py) holds the same box contract.
 
 Preserves: JSON log ``preprocess_<ts>.json`` (pipeline.py:156-159), min-edge
 <400px rejection (pipeline.py:80), layered fallbacks — enhanced copy → raw
@@ -33,7 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_dir", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--model_path", default=None,
-                   help="accepted for reference-CLI compatibility")
+                   help="converted Mask R-CNN checkpoint (download_weights.py "
+                        "--torch_ckpt output); falls back to the saliency "
+                        "segmenter when absent/unloadable")
     p.add_argument("--no_crop", action="store_true")
     p.add_argument("--no_rotate", action="store_true")
     p.add_argument("--batch_size", type=int, default=16)
@@ -49,6 +52,15 @@ def main(argv=None) -> int:
     from mmtrs_tpu.utils.io import save_json, timestamp
 
     cfg = PreprocessConfig(do_crop=not args.no_crop, do_rotate=not args.no_rotate)
+    segmenter = None
+    if args.model_path and Path(args.model_path).is_dir():
+        try:
+            from mmtrs_tpu.models.detection import load_detector
+
+            segmenter = load_detector(args.model_path)
+            print(f"[info] learned Mask R-CNN segmenter loaded from {args.model_path}")
+        except Exception as e:  # graceful degradation (pipeline contract)
+            print(f"[warn] could not load detector ({e}); using saliency segmenter")
     in_dir, out_dir = Path(args.input_dir), Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     paths = list_images(in_dir)
@@ -65,7 +77,7 @@ def main(argv=None) -> int:
             logs.append({"file": r.name, "status": f"rejected_{reason}"})
         if not len(batch):
             continue
-        out, info = preprocess_numpy(batch, cfg)
+        out, info = preprocess_numpy(batch, cfg, segmenter=segmenter)
         for i, p in enumerate(ok_paths):
             dst = out_dir / f"{p.stem}.jpg"
             save_jpeg(dst, out[i], cfg.jpeg_quality)

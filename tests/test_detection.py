@@ -1,0 +1,309 @@
+"""Mask R-CNN port: ops oracles, converter round-trip, tiny end-to-end
+forward, segmenter contract (reference: src/preprocessing/segment.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtrs_tpu.models.detection import (
+    DetectorConfig,
+    MaskRCNN,
+    MaskRCNNSegmenter,
+    convert_state_dict,
+    expected_torch_keys,
+    fake_state_dict,
+)
+from mmtrs_tpu.models.detection.ops import (
+    decode_boxes,
+    encode_boxes,
+    make_anchors_per_level,
+    mask_bbox,
+    pairwise_iou,
+    paste_mask,
+    roi_align,
+    static_nms,
+)
+
+TINY = DetectorConfig(
+    img_size=64,
+    base_width=8,
+    layers=(1, 1, 1, 1),
+    fpn_channels=16,
+    num_classes=5,
+    anchor_sizes=(8.0, 16.0, 32.0, 64.0, 128.0),
+    pre_nms_topk=32,
+    post_nms_topk=16,
+    max_detections=4,
+)
+
+
+# ---------------------------------------------------------------------------
+# ops
+# ---------------------------------------------------------------------------
+
+
+def test_anchors_match_torchvision_rounding():
+    """size 32, ratios (0.5,1,2): torchvision cell anchors are
+    [-23,-11,23,11], [-16,-16,16,16], [-11,-23,11,23] (round after /2)."""
+    a = make_anchors_per_level((1, 1), stride=16, size=32.0)
+    np.testing.assert_array_equal(
+        a,
+        np.array(
+            [[-23, -11, 23, 11], [-16, -16, 16, 16], [-11, -23, 11, 23]],
+            np.float32,
+        ),
+    )
+
+
+def test_anchor_grid_shift():
+    a = make_anchors_per_level((2, 3), stride=8, size=16.0)
+    assert a.shape == (2 * 3 * 3, 4)
+    # second grid column is the first shifted by stride in x
+    np.testing.assert_allclose(a[3:6], a[0:3] + [8, 0, 8, 0])
+    # second grid row shifted by stride in y
+    np.testing.assert_allclose(a[9:12], a[0:3] + [0, 8, 0, 8])
+
+
+def test_box_coding_roundtrip():
+    rng = np.random.default_rng(0)
+    anchors = np.abs(rng.normal(50, 10, (20, 2)))
+    anchors = np.concatenate([anchors, anchors + rng.uniform(5, 40, (20, 2))], 1)
+    boxes = anchors + rng.normal(0, 3, anchors.shape)
+    boxes[:, 2:] = np.maximum(boxes[:, 2:], boxes[:, :2] + 1.0)
+    for w in [(1.0, 1.0, 1.0, 1.0), (10.0, 10.0, 5.0, 5.0)]:
+        enc = encode_boxes(jnp.asarray(boxes), jnp.asarray(anchors), w)
+        dec = decode_boxes(enc, jnp.asarray(anchors), w)
+        np.testing.assert_allclose(np.asarray(dec), boxes, atol=1e-3)
+
+
+def _nms_oracle(boxes, scores, thresh):
+    order = np.argsort(-scores)
+    keep = []
+    sup = np.zeros(len(boxes), bool)
+    for i in order:
+        if sup[i] or not np.isfinite(scores[i]):
+            continue
+        keep.append(i)
+        iou = np.asarray(pairwise_iou(jnp.asarray(boxes[i : i + 1]), jnp.asarray(boxes)))[0]
+        sup |= iou > thresh
+    return keep
+
+
+def test_static_nms_matches_greedy_oracle():
+    rng = np.random.default_rng(1)
+    xy = rng.uniform(0, 80, (40, 2)).astype(np.float32)
+    wh = rng.uniform(10, 30, (40, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], 1)
+    scores = rng.uniform(0, 1, 40).astype(np.float32)
+    keep, valid = static_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 40)
+    got = [int(i) for i, v in zip(np.asarray(keep), np.asarray(valid)) if v]
+    want = _nms_oracle(boxes, scores, 0.5)
+    assert got == want
+
+
+def test_static_nms_groups_do_not_cross_suppress():
+    boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    # same group: second suppressed
+    _, valid = static_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 2,
+                          jnp.array([0, 0]))
+    assert list(np.asarray(valid)) == [True, False]
+    # different groups: both kept
+    _, valid = static_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 2,
+                          jnp.array([0, 1]))
+    assert list(np.asarray(valid)) == [True, True]
+
+
+def _roi_align_oracle(feat, box, out, scale, sampling=2):
+    """Direct per-tap bilinear sampling (torchvision aligned=False)."""
+    H, W, C = feat.shape
+    x0, y0, x1, y1 = box * scale
+    bh, bw = (y1 - y0) / out, (x1 - x0) / out
+    res = np.zeros((out, out, C))
+    for i in range(out):
+        for j in range(out):
+            acc = np.zeros(C)
+            for sy in range(sampling):
+                for sx in range(sampling):
+                    y = np.clip(y0 + (i + (sy + 0.5) / sampling) * bh, 0, H - 1)
+                    x = np.clip(x0 + (j + (sx + 0.5) / sampling) * bw, 0, W - 1)
+                    iy, ix = int(np.floor(y)), int(np.floor(x))
+                    iy1, ix1 = min(iy + 1, H - 1), min(ix + 1, W - 1)
+                    fy, fx = y - iy, x - ix
+                    acc += (
+                        feat[iy, ix] * (1 - fy) * (1 - fx)
+                        + feat[iy, ix1] * (1 - fy) * fx
+                        + feat[iy1, ix] * fy * (1 - fx)
+                        + feat[iy1, ix1] * fy * fx
+                    )
+            res[i, j] = acc / (sampling * sampling)
+    return res
+
+
+def test_roi_align_matches_oracle():
+    rng = np.random.default_rng(2)
+    feat = rng.normal(size=(16, 16, 3)).astype(np.float32)
+    boxes = np.array([[4.0, 2.0, 28.0, 20.0], [0.0, 0.0, 31.0, 31.0]], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 0.5))
+    for r in range(2):
+        want = _roi_align_oracle(feat, boxes[r], 7, 0.5)
+        np.testing.assert_allclose(got[r], want, atol=1e-4)
+
+
+def test_paste_mask_and_bbox():
+    mask = jnp.ones((28, 28))
+    box = jnp.array([10.0, 20.0, 40.0, 50.0])  # x0,y0,x1,y1
+    pasted = paste_mask(mask, box, (64, 64))
+    hard = np.asarray(pasted) > 0.5
+    ys, xs = np.nonzero(hard)
+    # support ≈ the box (within a pixel of bilinear falloff)
+    assert abs(ys.min() - 20) <= 1 and abs(ys.max() - 49) <= 1
+    assert abs(xs.min() - 10) <= 1 and abs(xs.max() - 39) <= 1
+    bb = np.asarray(mask_bbox(jnp.asarray(hard)))
+    assert abs(bb[0] - 20) <= 1 and abs(bb[1] - 10) <= 1
+    assert abs(bb[2] - 50) <= 1 and abs(bb[3] - 40) <= 1
+
+
+def test_mask_bbox_empty():
+    bb = np.asarray(mask_bbox(jnp.zeros((8, 8), bool)))
+    assert bb[2] <= bb[0] or bb[3] <= bb[1]  # degenerate box signals empty
+
+
+# ---------------------------------------------------------------------------
+# converter
+# ---------------------------------------------------------------------------
+
+
+def test_converter_roundtrip_full_r50():
+    """Full R50-FPN naming: conversion consumes every torchvision key and
+    the resulting tree matches MaskRCNN.init's structure exactly."""
+    cfg = DetectorConfig()
+    sd = fake_state_dict(cfg)
+    variables = convert_state_dict(sd, cfg)
+
+    model = MaskRCNN(cfg)
+    ref = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    got_paths = {
+        "/".join(str(k.key) for k in p): v.shape
+        for p, v in jax.tree_util.tree_leaves_with_path(variables["params"])
+    }
+    want_paths = {
+        "/".join(str(k.key) for k in p): v.shape
+        for p, v in jax.tree_util.tree_leaves_with_path(ref["params"])
+    }
+    assert got_paths == want_paths
+
+    # spot-check layout rules
+    np.testing.assert_array_equal(
+        variables["params"]["body"]["conv1"]["kernel"],
+        np.transpose(sd["backbone.body.conv1.weight"], (2, 3, 1, 0)),
+    )
+    np.testing.assert_array_equal(
+        variables["params"]["box_head"]["fc6"]["kernel"],
+        sd["roi_heads.box_head.fc6.weight"].T,
+    )
+    np.testing.assert_array_equal(
+        variables["params"]["mask_head"]["conv5_mask"]["kernel"],
+        np.transpose(sd["roi_heads.mask_predictor.conv5_mask.weight"], (2, 3, 0, 1)),
+    )
+
+
+def test_converter_accepts_wrapped_naming():
+    cfg = DetectorConfig()
+    sd = fake_state_dict(cfg)
+    # rename to the Conv2dNormActivation-wrapped era
+    renames = {}
+    for k in list(sd):
+        nk = k
+        if k.startswith("backbone.fpn.inner_blocks.") or k.startswith(
+            "backbone.fpn.layer_blocks."
+        ):
+            parts = k.split(".")
+            nk = ".".join(parts[:4] + ["0"] + parts[4:])
+        if k.startswith("rpn.head.conv."):
+            nk = k.replace("rpn.head.conv.", "rpn.head.conv.0.0.")
+        renames[nk] = sd[k]
+    variables = convert_state_dict(renames, cfg)
+    np.testing.assert_array_equal(
+        variables["params"]["rpn_head"]["conv"]["bias"], sd["rpn.head.conv.bias"]
+    )
+
+
+def test_converter_rejects_unconsumed_keys():
+    cfg = DetectorConfig()
+    sd = fake_state_dict(cfg)
+    sd["rogue.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_state_dict(sd, cfg)
+
+
+# ---------------------------------------------------------------------------
+# tiny end-to-end
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_detector():
+    model = MaskRCNN(TINY)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), img)
+    return model, variables, img
+
+
+def test_tiny_forward_shapes_and_masking(tiny_detector):
+    model, variables, img = tiny_detector
+    boxes, scores, labels, valid, masks = model.apply(variables, img)
+    D = TINY.max_detections
+    assert boxes.shape == (2, D, 4)
+    assert scores.shape == (2, D)
+    assert labels.shape == (2, D)
+    assert valid.shape == (2, D)
+    assert masks.shape == (2, D, 28, 28)
+    b = np.asarray(boxes)
+    assert np.all(b[..., 2] >= b[..., 0] - 1e-5) and np.all(b >= -1e-5)
+    assert np.all(b[..., [0, 2]] <= 64 + 1e-5)
+    s = np.asarray(scores)
+    v = np.asarray(valid)
+    # every valid detection clears the score threshold; invalid are zeroed
+    assert np.all(s[v] > TINY.box_score_thresh)
+    assert np.all(s[~v] == 0.0)
+    m = np.asarray(masks)
+    assert np.all((m >= 0) & (m <= 1))
+
+
+def test_segmenter_contract_and_fallback(tiny_detector):
+    model, variables, _ = tiny_detector
+    seg = MaskRCNNSegmenter(variables, TINY, min_saturation=40.0)
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32))
+    boxes, valid = seg.propose_boxes(imgs)
+    assert boxes.shape == (2, 4) and valid.shape == (2,)
+    b = np.asarray(boxes)
+    assert np.all(b[:, 2] > b[:, 0]) and np.all(b[:, 3] > b[:, 1])
+    # gray inputs (saturation 0) must always fall back to the centre crop
+    gray = jnp.full((1, 64, 64, 3), 128.0)
+    boxes_g, valid_g = seg.propose_boxes(gray)
+    assert not bool(valid_g[0])
+    np.testing.assert_allclose(np.asarray(boxes_g[0]), [0, 0, 64, 64])
+
+
+def test_segmenter_plugs_into_crop():
+    """The detector's boxes feed crop_box_resize exactly like the saliency
+    segmenter's (pipeline integration contract)."""
+    from mmtrs_tpu.ops.resize import crop_box_resize
+
+    model = MaskRCNN(TINY)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(1), img / 255.0)
+    seg = MaskRCNNSegmenter(variables, TINY)
+    boxes, _ = seg.propose_boxes(img)
+    out = crop_box_resize(img, boxes, 32, margin=2.0)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
