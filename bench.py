@@ -1,15 +1,18 @@
 #!/usr/bin/env python3
-"""Benchmark: preprocessing throughput on one chip (the north-star metric).
+"""Benchmark: preprocessing+augmentation throughput on one chip (the
+north-star metric).
 
-Measures the full device-side preprocessing chain — CLAHE (Pallas on TPU) →
-deskew (Sobel+PCA+warp) → saliency segment-crop → 512² resize — on
-HBM-resident synthetic batches, end to end per image.
+Measures the full device-side chain BASELINE.json names
+("segment+CLAHE+augment"): CLAHE (Pallas on TPU) → deskew (Sobel+PCA+
+3-shear) → saliency segment-crop → 512² resize → the `legacy`
+augmentation preset (the one the final system uses) — on HBM-resident
+synthetic batches, end to end per image.
 
 Prints ONE JSON line:
   {"metric": "preproc_imgs_per_sec_512px", "value": N, "unit": "imgs/s/chip",
    "vs_baseline": N / 5000.0}
 
-Baseline: BASELINE.json north star = 5,000 preprocessed 512px images/s/chip
+Baseline: BASELINE.json north star = 5,000 processed 512px images/s/chip
 (the reference's per-image CPU/OpenCV pipeline measures in the tens/s;
 its GPU eval throughput was 48-51 imgs/s — BASELINE.md).
 """
@@ -47,16 +50,22 @@ def synth_batch(b: int, size: int = 512, seed: int = 0) -> np.ndarray:
 
 
 def main() -> int:
+    from mmtrs_tpu.ops.augment import augment_batch
     from mmtrs_tpu.preprocess import preprocess_batch
+    from mmtrs_tpu.utils.rng import keys_for_batch
 
     platform = jax.devices()[0].platform
     use_pallas = platform == "tpu"
     batch = 32
     x = jnp.asarray(synth_batch(batch))
+    keys = keys_for_batch(42, np.arange(batch), np.ones(batch))
 
-    fn = lambda v: preprocess_batch(
-        v, out_size=512, do_crop=True, do_rotate=True, use_pallas=use_pallas
-    )
+    def fn(v):
+        out, info = preprocess_batch(
+            v, out_size=512, do_crop=True, do_rotate=True, use_pallas=use_pallas
+        )
+        out = augment_batch(out, keys, "legacy")
+        return out, info
     # distinct inputs defeat any transport-level result caching; fetching a
     # scalar from the LAST output forces completion of the whole in-order
     # stream (block_until_ready alone is unreliable through the axon tunnel)

@@ -163,3 +163,62 @@ def convnext_from_hf(state_dict: dict, variant: str = "tiny", v2: bool = False) 
         "bias": _t(sd["layernorm.bias"]),
     }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Loading converted weights into trainers
+# ---------------------------------------------------------------------------
+
+
+def _deep_merge(dst: dict, src: dict, path: str = "") -> dict:
+    out = dict(dst)
+    for k, v in src.items():
+        if k not in dst:
+            raise KeyError(f"pretrained key {path + k} absent from model tree")
+        if isinstance(v, dict):
+            out[k] = _deep_merge(dst[k], v, path + k + "/")
+        else:
+            have = np.asarray(dst[k])
+            give = np.asarray(v)
+            if have.shape != give.shape:
+                raise ValueError(
+                    f"shape mismatch at {path + k}: model {have.shape} vs "
+                    f"pretrained {give.shape}"
+                )
+            out[k] = give.astype(have.dtype)
+    return out
+
+
+def merge_pretrained(variables: dict, pretrained: dict) -> dict:
+    """Load converted backbone weights into a model's initialized
+    ``variables`` (the reference's timm pretrained=True —
+    train_hard.py:155-157 / train_mm_joint_dualtask.py:375).
+
+    The backbone may be the whole model (VisionTrainer with num_classes=0
+    trees) or a named/auto-named submodule (MMJointDualHead, MILNet): the
+    host subtree is located as the unique node containing every top-level
+    pretrained key. Freshly-initialized heads are left untouched; missing
+    keys or shape mismatches raise loudly.
+    """
+    out = {k: v for k, v in variables.items()}
+    for col, sub in pretrained.items():
+        if col not in variables or not sub:
+            continue
+        target = variables[col]
+        keys = set(sub)
+        if keys <= set(target):
+            out[col] = _deep_merge(target, sub)
+            continue
+        hosts = [
+            k for k, v in target.items()
+            if isinstance(v, dict) and keys <= set(v)
+        ]
+        if len(hosts) != 1:
+            raise KeyError(
+                f"cannot locate backbone subtree for collection '{col}' "
+                f"(candidates: {hosts})"
+            )
+        merged = dict(target)
+        merged[hosts[0]] = _deep_merge(target[hosts[0]], sub, hosts[0] + "/")
+        out[col] = merged
+    return out

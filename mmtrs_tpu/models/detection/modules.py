@@ -324,9 +324,10 @@ class MaskRCNN(nn.Module):
                 flat_boxes, sc, c.box_nms_thresh, c.max_detections, flat_labels
             )
             det_boxes = flat_boxes[keep]
-            det_scores = jnp.where(valid, flat_scores[keep], 0.0)
-            det_labels = jnp.where(valid, flat_labels[keep], 0)
+            det_scores = flat_scores[keep]
             valid = valid & (det_scores > c.box_score_thresh)
+            det_scores = jnp.where(valid, det_scores, 0.0)
+            det_labels = jnp.where(valid, flat_labels[keep], 0)
 
             mroi = roi_align_multilevel(
                 feats_b[:4], list(c.strides[:4]), det_boxes, 14

@@ -213,9 +213,12 @@ def roi_align(
     x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     wy = _axis_weights(y0 * spatial_scale, y1 * spatial_scale, out_size, H, sampling)
     wx = _axis_weights(x0 * spatial_scale, x1 * spatial_scale, out_size, W, sampling)
-    # rows: contract H → [R,P,W,C]; cols: contract W → [R,P,Q,C]
-    rows = jnp.einsum("rph,hwc->rpwc", wy, feat)
-    return jnp.einsum("rqw,rpwc->rpqc", wx, rows)
+    # rows: contract H → [R,P,W,C]; cols: contract W → [R,P,Q,C].
+    # HIGHEST precision: TPU einsum defaults to bf16 multiplies, which
+    # breaks sub-pixel interpolation parity
+    hi = jax.lax.Precision.HIGHEST
+    rows = jnp.einsum("rph,hwc->rpwc", wy, feat, precision=hi)
+    return jnp.einsum("rqw,rpwc->rpqc", wx, rows, precision=hi)
 
 
 def roi_align_multilevel(
@@ -245,7 +248,9 @@ def roi_align_multilevel(
         axis=0,
     )  # [L,R,out,out,C]
     onehot = jax.nn.one_hot(k.astype(jnp.int32), len(feats), axis=0)  # [L,R]
-    return jnp.einsum("lr,lrijc->rijc", onehot, outs)
+    return jnp.einsum(
+        "lr,lrijc->rijc", onehot, outs, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +278,8 @@ def paste_mask(
     wy = jnp.maximum(1.0 - jnp.abs(ys[:, None] - src[None, :]), 0.0)  # [H,M]
     wx = jnp.maximum(1.0 - jnp.abs(xs[:, None] - src[None, :]), 0.0)  # [W,M]
     # out-of-box pixels get zero weight automatically (hat support)
-    return wy @ mask @ wx.T
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(wy, mask, precision=hi), wx.T, precision=hi)
 
 
 def mask_bbox(mask_bool: jnp.ndarray) -> jnp.ndarray:

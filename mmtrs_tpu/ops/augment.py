@@ -33,15 +33,18 @@ import jax.numpy as jnp
 
 from mmtrs_tpu.ops.clahe import clahe_rgb
 from mmtrs_tpu.ops.color import hsv_to_rgb, rgb_to_hsv
+import numpy as np
+
 from mmtrs_tpu.ops.warp import (
+    affineize_homography,
     hflip3,
     identity3,
     rotate3,
     scale3,
+    shift_axis_windowed,
     translate3,
     vflip3,
-    warp_affine,
-    sample_bilinear,
+    warp_affine_shear,
 )
 
 # ---------------------------------------------------------------------------
@@ -258,14 +261,18 @@ def augment_legacy(imgs: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512):
         m = jnp.where(_gate(kh, 0.5), hflip3(float(W)) @ m, m)
         m = jnp.where(_gate(kv, 0.05), vflip3(float(H)) @ m, m)
         m = jnp.where(_gate(jax.random.fold_in(ks, 1), 0.9), ssr3(ks, H, W) @ m, m)
-        m = jnp.where(
-            _gate(jax.random.fold_in(kp, 1), 0.2), perspective3(kp, H, W) @ m, m
+        # perspective affine-ized at the centre → the whole composite stays
+        # affine and rides the gather-free two-pass warp (strength .02-.05:
+        # documented distributional deviation, SURVEY §7 hard-part 3)
+        persp = affineize_homography(
+            perspective3(kp, H, W), (W - 1) / 2.0, (H - 1) / 2.0
         )
+        m = jnp.where(_gate(jax.random.fold_in(kp, 1), 0.2), persp @ m, m)
         return m
 
     geo_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
     mats = jax.vmap(geo_matrix)(geo_keys)
-    out = warp_affine(imgs, mats, border="constant", cval=0.0, perspective=True)
+    out = warp_affine_shear(imgs, mats, border="constant", cval=0.0)
 
     # OneOf photometrics p=.5
     def phot_params(key):
@@ -356,7 +363,7 @@ def augment_ten(imgs: jnp.ndarray, keys: jnp.ndarray, aug_idx: jnp.ndarray):
         return jnp.where(w < 5, mats[jnp.minimum(w, 4)], identity3())
 
     mats = jax.vmap(geo)(keys, which)
-    out = warp_affine(imgs, mats, border="constant", cval=0.0)
+    out = warp_affine_shear(imgs, mats, border="constant", cval=0.0)
 
     # photometric variants 5-9
     def phot_params(key, w):
@@ -419,7 +426,7 @@ def augment_simple(imgs: jnp.ndarray, keys: jnp.ndarray, aug_idx: jnp.ndarray):
         return mats[w]
 
     mats = jax.vmap(geo)(keys, which)
-    out = warp_affine(imgs, mats, border="constant", cval=0.0)
+    out = warp_affine_shear(imgs, mats, border="constant", cval=0.0)
 
     def phot_params(key, w):
         kb, kc, kcol = jax.random.split(key, 3)

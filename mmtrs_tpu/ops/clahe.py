@@ -5,17 +5,20 @@ L channel (normalise.py:10-16) with an array-resident implementation:
 
 1. per-tile 256-bin histograms via one ``segment_sum`` over the whole batch
    (no per-image Python, no dynamic shapes);
-2. OpenCV clip semantics: integer clip limit ``max(clip*tileArea/nbins, 1)``,
-   clipped excess redistributed evenly across bins;
-3. per-tile LUT = round(cdf * (nbins-1)/tileArea);
-4. bilinear interpolation between the 4 neighbouring tile LUTs per pixel
-   (half-tile border handling like OpenCV: tile coordinates are computed
-   against tile centers and clamped).
+2. OpenCV clip semantics, exactly: integer clip limit
+   ``max(clip*tileArea/nbins, 1)``; clipped excess redistributed as
+   ``excess // nbins`` to every bin plus a +1 bonus to the first
+   ``residual`` bins at spacing ``max(nbins // residual, 1)``
+   (clahe.cpp calcLut residual loop);
+3. per-tile LUT = round(cdf * (nbins-1)/tileArea)  (round-half-even =
+   cvRound);
+4. bilinear interpolation between the 4 neighbouring tile LUTs with
+   OpenCV's tile coordinate ``x·inv_tw − 0.5`` and edge clamping.
 
-Deviation from OpenCV (documented): OpenCV redistributes the residual of the
-integer division one unit per leading bin; we spread it evenly (≤1 intensity
-level difference). Parity is metric-level, not bit-level (SURVEY.md §7
-hard-part 3).
+Parity is pinned to REAL cv2 5.0 outputs in tests/test_cv2_goldens.py
+(≤1 level, from cv2's final uint8 rounding); round 1's "even residual
+spread" deviation was caught by those goldens (up to 14 levels off) and
+removed.
 
 A fused Pallas kernel with the same semantics lives in
 mmtrs_tpu.ops.pallas.clahe_kernel; this module is the XLA reference both for
@@ -62,13 +65,24 @@ def clahe(
 
     limit = max(int(clip * area / n_bins), 1)
     excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
-    hist = jnp.minimum(hist, limit) + excess / n_bins
+    hist = jnp.minimum(hist, limit)
+    # OpenCV integer redistribution (clahe.cpp): every bin gets
+    # excess // nbins; the first `residual` bins at spacing
+    # max(nbins // residual, 1) get +1
+    exc_i = excess.astype(jnp.int32)  # counts are exact small ints
+    batch_add = exc_i // n_bins
+    resid = exc_i - batch_add * n_bins  # [..,1] ∈ [0, nbins)
+    step = jnp.maximum(n_bins // jnp.maximum(resid, 1), 1)
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    bonus = ((bins % step) == 0) & ((bins // step) < resid)
+    hist = hist + batch_add.astype(jnp.float32) + bonus.astype(jnp.float32)
     cdf = jnp.cumsum(hist, axis=-1)
     lut = jnp.clip(jnp.round(cdf * ((n_bins - 1) / area)), 0, n_bins - 1)  # [B,ty,tx,256]
 
-    # bilinear interpolation between tile LUTs
-    fy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / th - 0.5
-    fx = (jnp.arange(W, dtype=jnp.float32) + 0.5) / tw - 0.5
+    # bilinear interpolation between tile LUTs (OpenCV convention:
+    # txf = x·inv_tw − 0.5, clahe.cpp CLAHE_Interpolation_Body)
+    fy = jnp.arange(H, dtype=jnp.float32) / th - 0.5
+    fx = jnp.arange(W, dtype=jnp.float32) / tw - 0.5
     y0 = jnp.clip(jnp.floor(fy), 0, ty - 1).astype(jnp.int32)
     x0 = jnp.clip(jnp.floor(fx), 0, tx - 1).astype(jnp.int32)
     y1 = jnp.minimum(y0 + 1, ty - 1)
@@ -99,8 +113,13 @@ def clahe(
 def clahe_rgb(
     imgs: jnp.ndarray, clip: float = 3.0, tiles: tuple[int, int] = (8, 8)
 ) -> jnp.ndarray:
-    """apply_clahe parity (normalise.py:10-16): RGB→LAB, CLAHE on L, back."""
-    lab = rgb_to_lab(imgs)
+    """apply_clahe parity (normalise.py:10-16): RGB→LAB, CLAHE on L, back.
+
+    The reference chain runs on uint8 (cv2 quantizes L,a,b between steps);
+    LAB is rounded here to match that data path — without it, sub-level L
+    differences land in different histogram bins and the clipped LUT
+    amplifies them (real-cv2 goldens showed p99≈9 levels unquantized)."""
+    lab = jnp.round(rgb_to_lab(imgs))
     l2 = clahe(lab[..., 0], clip=clip, tiles=tiles)
     lab = lab.at[..., 0].set(l2)
     return lab_to_rgb(lab)

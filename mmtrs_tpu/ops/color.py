@@ -2,8 +2,11 @@
 
 OpenCV 8-bit conventions (the reference pipeline operates on uint8 BGR via
 cv2 — normalise.py:10-16, segment.py:37-39):
-- LAB: L scaled to [0,255] (L*255/100), a/b offset by +128. No sRGB gamma
-  (OpenCV's RGB↔Lab for 8U treats inputs as linear RGB).
+- LAB: L scaled to [0,255] (L*255/100), a/b offset by +128. cv2's Lab
+  conversion applies the sRGB gamma (color_lab.cpp applyGamma) for BOTH 8U
+  and 32F inputs — verified against cv2 5.0 (L of mid-gray = 53.6, not the
+  linear-RGB 76.2; pinned in tests/test_cv2_goldens.py). Round 1 assumed
+  linear RGB; the real-cv2 goldens caught it.
 - HSV: H in [0,180), S,V in [0,255].
 - GRAY: 0.299 R + 0.587 G + 0.114 B.
 
@@ -46,9 +49,22 @@ def _f_lab(t):
     return jnp.where(t > _LAB_DELTA, jnp.cbrt(t), _LAB_K * t + 16.0 / 116.0)
 
 
+def _srgb_to_linear(x):
+    return jnp.where(
+        x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4
+    )
+
+
+def _linear_to_srgb(y):
+    y = jnp.maximum(y, 0.0)
+    return jnp.where(
+        y <= 0.0031308, 12.92 * y, 1.055 * y ** (1.0 / 2.4) - 0.055
+    )
+
+
 def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     """float32 RGB 0..255 → OpenCV-8U-scaled LAB (L,a,b all 0..255-ish)."""
-    x = rgb.astype(jnp.float32) / 255.0
+    x = _srgb_to_linear(rgb.astype(jnp.float32) / 255.0)
     X, Y, Z = _mat3(_RGB2XYZ, x[..., 0], x[..., 1], x[..., 2])
     xn, yn, zn = X / _WHITE[0], Y / _WHITE[1], Z / _WHITE[2]
     fx, fy, fz = _f_lab(xn), _f_lab(yn), _f_lab(zn)
@@ -74,7 +90,8 @@ def lab_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
     Y = inv_f(fy) * _WHITE[1]
     Z = inv_f(fz) * _WHITE[2]
     r, g, b2 = _mat3(_XYZ2RGB, X, Y, Z)
-    return jnp.clip(jnp.stack([r, g, b2], axis=-1) * 255.0, 0.0, 255.0)
+    srgb = _linear_to_srgb(jnp.stack([r, g, b2], axis=-1))
+    return jnp.clip(srgb * 255.0, 0.0, 255.0)
 
 
 def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -69,7 +69,17 @@ def _hist_lut_kernel(pix_ref, lut_ref, *, area, clip, tiles_per_step):
             pltpu.repeat(counts, 16, axis=1) * flat_mask, axis=0, keepdims=True
         )  # [1, 256]
         excess = jnp.sum(jnp.maximum(hist - limit, 0.0))
-        hist = jnp.minimum(hist, float(limit)) + excess / N_BINS
+        hist = jnp.minimum(hist, float(limit))
+        # OpenCV integer redistribution (clahe.cpp calcLut): every bin gets
+        # excess // nbins; first `residual` bins at spacing
+        # max(nbins // residual, 1) get +1
+        exc_i = excess.astype(jnp.int32)
+        batch_add = exc_i // N_BINS
+        resid = exc_i - batch_add * N_BINS
+        step = jnp.maximum(N_BINS // jnp.maximum(resid, 1), 1)
+        bins = jax.lax.broadcasted_iota(jnp.int32, (1, N_BINS), 1)
+        bonus = ((bins % step) == 0) & ((bins // step) < resid)
+        hist = hist + batch_add.astype(jnp.float32) + bonus.astype(jnp.float32)
         cdf = _prefix_sum_lanes(hist)
         lut_ref[0, j, 0, :] = jnp.clip(
             jnp.round(cdf[0] * ((N_BINS - 1) / area)), 0, N_BINS - 1
@@ -80,7 +90,8 @@ def _axis_weight_pattern(tile_idx: int, tile_size: int, n_tiles: int) -> np.ndar
     """[tile_size, 3] bilinear weights over the 3 candidate neighbour tiles
     for a given tile position (host-side, exact)."""
     pos = np.arange(tile_size, dtype=np.float64)
-    g = (tile_idx * tile_size + pos + 0.5) / tile_size - 0.5
+    # OpenCV tile coordinate: x·inv_tw − 0.5 (clahe.cpp interpolation)
+    g = (tile_idx * tile_size + pos) / tile_size - 0.5
     t0 = np.clip(np.floor(g), 0, n_tiles - 1)
     t1 = np.minimum(t0 + 1, n_tiles - 1)
     w1 = np.clip(g - t0, 0.0, 1.0)

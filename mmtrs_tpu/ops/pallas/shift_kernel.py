@@ -1,0 +1,133 @@
+"""Pallas TPU kernels for fractional row shifts — the HBM-bandwidth
+workhorse of every gather-free geometric op.
+
+The XLA fallback (`ops.warp._shift_rows_frac`) implements the log-shift
+cascade as ~9 jnp.roll+select passes, each of which materializes the full
+batch in HBM (~2 GB of traffic per shear at 512²×32). These kernels run
+the SAME cascade inside VMEM: one read + one write of HBM per shift
+(~200 MB) — the round-1 lesson (lane-major CLAHE, 36→3.8 ms) applied to
+the shear/warp family. Semantics are identical to the XLA path (bilinear
+fractional blend, replicate border, same binary decomposition); tests
+assert elementwise closeness.
+
+Layouts: callers pass PLANAR rows [M, W] (image batches are transposed
+NHWC→(B·C·H, W) by the wrappers in ops.warp so the shifted axis owns the
+lanes; C=3 on lanes would waste 125/128 of the VPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cascade(x, s, W):
+    """Roll x [R, W] left by per-row integer s [R, 1] (wrap)."""
+    bit = 1
+    while bit < W:
+        rolled = pltpu.roll(x, (W - bit) % W, axis=1)
+        take = (s & bit) != 0
+        x = jnp.where(take, rolled, x)
+        bit *= 2
+    return x
+
+
+def _shift_rows_kernel(off_ref, img_ref, out_ref, *, W):
+    x = img_ref[...]  # [R, W]
+    off = off_ref[...]  # [R, 1] f32
+    k = jnp.floor(off)
+    f = off - k
+    s = jax.lax.rem(k.astype(jnp.int32), W)
+    s = jnp.where(s < 0, s + W, s)
+
+    a = _cascade(x, s, W)
+    b = pltpu.roll(a, W - 1, axis=1)  # one more left-shift
+    out = (1.0 - f) * a + f * b
+
+    # replicate border: source columns outside [0, W-1]
+    # (TPU iota must be integer — Mosaic gap, NOTES_ROUND1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], W), 1).astype(
+        jnp.float32
+    )
+    src = xx + off
+    left = jax.lax.broadcast_in_dim(x[:, 0], (x.shape[0], W), (0,))
+    right = jax.lax.broadcast_in_dim(x[:, W - 1], (x.shape[0], W), (0,))
+    out = jnp.where(src < 0.0, left, out)
+    out = jnp.where(src > W - 1.0, right, out)
+    out_ref[...] = out
+
+
+@partial(jax.jit, static_argnames=("block_rows",))
+def shift_rows_pallas(rows: jnp.ndarray, off: jnp.ndarray, block_rows: int = 256):
+    """rows [M, W] f32, off [M] f32 → out[m, x] = rows[m, x + off[m]]
+    (bilinear frac, replicate border). M must divide by block_rows."""
+    M, W = rows.shape
+    R = min(block_rows, M)
+    while M % R:
+        R //= 2
+    grid = (M // R,)
+    return pl.pallas_call(
+        partial(_shift_rows_kernel, W=W),
+        out_shape=jax.ShapeDtypeStruct((M, W), rows.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(off[:, None], rows)
+
+
+def _shift_rows_pp_kernel(img_ref, off_ref, out_ref, *, W, max_shift):
+    """Per-pixel bounded shift: out[r,x] = in[r, x+off[r,x]], |off|≤max_shift.
+    Windowed taps with in-VMEM rolls (replicate border via src clamping)."""
+    x = img_ref[...]  # [R, W]
+    off = off_ref[...]  # [R, W]
+    xx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1).astype(jnp.float32)
+    src = jnp.clip(xx + off, 0.0, W - 1.0)
+    rel = src - xx  # ∈ [-m, m]
+    out = jnp.zeros_like(x)
+    m = max_shift
+    for k in range(-m, m + 2):
+        w = jnp.maximum(1.0 - jnp.abs(rel - k), 0.0)
+        tap = pltpu.roll(x, (W - k) % W, axis=1)
+        # wrap-around taps point at the other edge; src clamping keeps the
+        # needed taps in range except at the first/last m columns, where
+        # replicate is enforced below
+        out = out + w * tap
+    left = jax.lax.broadcast_in_dim(x[:, 0], x.shape, (0,))
+    right = jax.lax.broadcast_in_dim(x[:, W - 1], x.shape, (0,))
+    out = jnp.where(src <= 0.0, left, out)
+    out = jnp.where(src >= W - 1.0, right, out)
+    out_ref[...] = out
+
+
+@partial(jax.jit, static_argnames=("max_shift", "block_rows"))
+def shift_rows_windowed_pallas(
+    rows: jnp.ndarray, off: jnp.ndarray, max_shift: int, block_rows: int = 256
+):
+    """rows [M, W], off [M, W] (|off| ≤ max_shift) → per-pixel shifted."""
+    M, W = rows.shape
+    R = min(block_rows, M)
+    while M % R:
+        R //= 2
+    return pl.pallas_call(
+        partial(_shift_rows_pp_kernel, W=W, max_shift=int(max_shift)),
+        out_shape=jax.ShapeDtypeStruct((M, W), rows.dtype),
+        grid=(M // R,),
+        in_specs=[
+            pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(rows, off)

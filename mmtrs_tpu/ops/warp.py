@@ -141,13 +141,33 @@ def warp_perspective(imgs, matrices, out_hw=None, border="replicate", cval=0.0):
 # the direct warp up to triple-resampling blur; borders replicate.
 
 
+def _pallas_shift_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _shift_rows_frac(img: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
     """out[b, y, x] = in[b, y, x + off[b, y]] (bilinear, replicate border).
 
     img: [B, H, W, C]; off: [B, H] float offsets (inverse-map convention).
-    Integer part via a log2 cascade of static rolls; fractional part via a
-    2-tap blend; out-of-range positions take the row's edge pixel.
+    On TPU this dispatches to the Pallas kernel (one HBM read+write; the
+    XLA cascade below materializes the batch ~9×). Semantics identical.
     """
+    if _pallas_shift_available():
+        from mmtrs_tpu.ops.pallas.shift_kernel import shift_rows_pallas
+
+        B, H, W, C = img.shape
+        planar = img.transpose(0, 3, 1, 2).reshape(B * C * H, W)
+        off_r = jnp.broadcast_to(off[:, None, :], (B, C, H)).reshape(-1)
+        out = shift_rows_pallas(planar, off_r.astype(jnp.float32))
+        return out.reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    return _shift_rows_frac_xla(img, off)
+
+
+def _shift_rows_frac_xla(img: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
+    """XLA fallback (and CPU-test oracle) for :func:`_shift_rows_frac`."""
     B, H, W, C = img.shape
     k = jnp.floor(off)
     f = (off - k)[:, :, None, None]
@@ -196,6 +216,15 @@ def shift_axis_windowed(
             1, 2,
         )
     B, H, W, C = imgs.shape
+    if _pallas_shift_available():
+        from mmtrs_tpu.ops.pallas.shift_kernel import shift_rows_windowed_pallas
+
+        planar = imgs.transpose(0, 3, 1, 2).reshape(B * C * H, W)
+        off_r = jnp.broadcast_to(off[:, None, :, :], (B, C, H, W)).reshape(-1, W)
+        out = shift_rows_windowed_pallas(
+            planar, off_r.astype(jnp.float32), int(max_shift)
+        )
+        return out.reshape(B, C, H, W).transpose(0, 2, 3, 1)
     m = int(max_shift)
     xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     src = jnp.clip(xx + off, 0.0, W - 1.0)
@@ -215,16 +244,25 @@ def _resample_rows_affine(
     precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """``out[b,y,x] = in[b, y, α[b]·x + β[b,y]]`` — one per-row butterfly
-    shift (β) + one per-image interpolation MATMUL (α). The per-axis
-    building block of the gather-free affine warp: scale rides the MXU,
-    translation rides the log-shift cascade. Replicate border."""
+    shift + one per-image interpolation MATMUL. The per-axis building
+    block of the gather-free affine warp: scale rides the MXU, translation
+    rides the log-shift cascade. Replicate border.
+
+    Decomposition: with r = mean_y β (per image), the butterfly handles
+    only the per-row DEVIATION β−r and the matmul coordinate is α·x+r —
+    so both stages stay in-range for flips (α<0) and large constant
+    offsets, and interior samples compose to the exact source
+    α·x + (β−r) + r."""
     B, H, W, C = imgs.shape
-    shifted = _shift_rows_frac(imgs, beta)  # in[y, x + β(y)]
+    r = jnp.mean(beta, axis=1)  # [B]
+    tmp = _shift_rows_frac(imgs, beta - r[:, None])  # in[y, x + (β(y)−r)]
     xo = jnp.arange(W, dtype=jnp.float32)[None, :, None]  # out col
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]  # src col
-    coord = jnp.clip(alpha[:, None, None] * xo, 0.0, W - 1.0)
+    coord = jnp.clip(
+        alpha[:, None, None] * xo + r[:, None, None], 0.0, W - 1.0
+    )
     M = jnp.maximum(1.0 - jnp.abs(coord - xs), 0.0)  # [B, Wout, Wsrc]
-    return jnp.einsum("bhwc,bxw->bhxc", shifted, M, precision=precision)
+    return jnp.einsum("bhwc,bxw->bhxc", tmp, M, precision=precision)
 
 
 def invert_affine_params(mats: jnp.ndarray):

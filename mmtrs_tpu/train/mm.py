@@ -74,7 +74,10 @@ class MMTrainer:
             head_dropout=cfg.head_dropout,
         )
 
-    def init_state(self, total_steps: int) -> TrainState:
+    def init_state(self, total_steps: int, pretrained: dict | None = None) -> TrainState:
+        """``pretrained``: converted backbone weights (timm pretrained=True
+        parity, train_mm_joint_dualtask.py:375) merged into the image
+        backbone submodule; tab MLP + heads keep their fresh init."""
         cfg = self.cfg
         variables = self.model.init(
             jax.random.key(cfg.seed),
@@ -82,6 +85,10 @@ class MMTrainer:
             jnp.zeros((1, cfg.tab_dim), jnp.float32),
             train=False,
         )
+        if pretrained is not None:
+            from mmtrs_tpu.models.backbones.convert import merge_pretrained
+
+            variables = merge_pretrained(variables, pretrained)
         self.tx = make_optimizer(
             cfg.lr, cfg.weight_decay, total_steps, grad_clip=cfg.grad_clip
         )

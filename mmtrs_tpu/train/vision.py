@@ -72,7 +72,11 @@ class VisionTrainer:
 
     # -- setup -------------------------------------------------------------
 
-    def init_state(self, total_steps: int, head_bias: float = 0.0):
+    def init_state(self, total_steps: int, head_bias: float = 0.0,
+                   pretrained: dict | None = None):
+        """``pretrained``: converted backbone weights from
+        models.backbones.convert (the reference's timm pretrained=True,
+        train_hard.py:155-157) — merged over the fresh init, head kept."""
         cfg = self.cfg
         if head_bias:
             self.model = replace(self.model, head_bias_init=head_bias)
@@ -81,6 +85,10 @@ class VisionTrainer:
             jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32),
             train=False,
         )
+        if pretrained is not None:
+            from mmtrs_tpu.models.backbones.convert import merge_pretrained
+
+            variables = merge_pretrained(variables, pretrained)
         self.tx = make_optimizer(
             cfg.lr, cfg.weight_decay, total_steps, cfg.warmup_steps
         )

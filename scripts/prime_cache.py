@@ -45,12 +45,16 @@ def main() -> int:
 
     import jax.numpy as jnp
 
+    from mmtrs_tpu.ops.augment import augment_batch
     from mmtrs_tpu.preprocess import preprocess_batch
+    from mmtrs_tpu.utils.rng import keys_for_batch
 
     x = jnp.asarray(synth_batch(32))
     use_pallas = jax.devices()[0].platform == "tpu"
     out, _ = preprocess_batch(x, out_size=512, do_crop=True, do_rotate=True,
                               use_pallas=use_pallas)
+    out = augment_batch(out, keys_for_batch(42, np.arange(32), np.ones(32)),
+                        "legacy")
     float(np.asarray(out[0, 0, 0, 0]))
     print(f"bench chain compiled+ran in {time.perf_counter() - t0:.1f}s")
     return 0

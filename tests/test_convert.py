@@ -96,3 +96,89 @@ def test_convnext_tiny_matches_hf_forward():
         got = np.asarray(model.apply(variables, jnp.asarray(x, jnp.float64),
                                      train=False))
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_merge_pretrained_into_vision_trainer():
+    """Converted backbone weights flow into a trainer (VERDICT round-1
+    item 4 plumbing): the donor's backbone params land in the state, the
+    classifier head keeps its fresh init, and a train step runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.config import VisionTrainConfig
+    from mmtrs_tpu.models.backbones.convert import merge_pretrained
+    from mmtrs_tpu.models.backbones.factory import create_model
+    from mmtrs_tpu.train.vision import VisionTrainer
+
+    donor = create_model("test_cnn", num_classes=0, dtype=jnp.float32)
+    pretrained = donor.init(
+        jax.random.key(123), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    pretrained = jax.tree.map(np.asarray, pretrained)
+
+    cfg = VisionTrainConfig(model_name="test_cnn", img_size=32, batch_size=4,
+                            epochs=1)
+    tr = VisionTrainer(cfg)
+    state = tr.init_state(total_steps=2, pretrained=pretrained)
+
+    # backbone leaves == donor; head untouched by the merge
+    for k, v in pretrained["params"].items():
+        got = jax.tree.map(np.asarray, state.params[k])
+        chex = jax.tree.map(np.testing.assert_array_equal, got, v)
+        del chex
+    assert "classifier" in state.params
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "inputs": (jnp.asarray(rng.uniform(-1, 1, (4, 32, 32, 3)),
+                               jnp.float32),),
+        "y": jnp.asarray(rng.integers(0, 2, 4)),
+    }
+    state, m = tr._train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_merge_pretrained_into_mm_trainer_submodule():
+    """merge_pretrained locates the backbone submodule inside
+    MMJointDualHead (auto-named child) and leaves tab MLP/heads fresh."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.config import MMJointConfig
+    from mmtrs_tpu.models.backbones.factory import create_model
+    from mmtrs_tpu.train.mm import MMTrainer
+
+    donor = create_model("test_cnn", num_classes=0, dtype=jnp.float32)
+    pretrained = jax.tree.map(
+        np.asarray,
+        donor.init(jax.random.key(9), jnp.zeros((1, 32, 32, 3)), train=False),
+    )
+    cfg = MMJointConfig(model_name="test_cnn", img_size=32, batch_size=4,
+                        tab_hidden=8)
+    tr = MMTrainer(cfg)
+    state = tr.init_state(total_steps=1, pretrained=pretrained)
+    # the donor leaves must appear SOMEWHERE in the state (the auto-named
+    # backbone submodule); flatten both and compare values by shape+content
+    donor_leaves = {
+        tuple(v.shape): v for v in jax.tree.leaves(pretrained["params"])
+    }
+    state_leaves = [np.asarray(v) for v in jax.tree.leaves(state.params)]
+    matched = 0
+    for shape, v in donor_leaves.items():
+        if any(s.shape == shape and np.array_equal(s, v) for s in state_leaves):
+            matched += 1
+    assert matched == len(donor_leaves), (matched, len(donor_leaves))
+
+
+def test_merge_pretrained_rejects_mismatch():
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from mmtrs_tpu.models.backbones.convert import merge_pretrained
+
+    variables = {"params": {"a": np.zeros((2, 2))}}
+    with _pytest.raises(KeyError):
+        merge_pretrained(variables, {"params": {"b": np.zeros((2, 2))}})
+    with _pytest.raises(ValueError):
+        merge_pretrained(variables, {"params": {"a": np.zeros((3, 3))}})

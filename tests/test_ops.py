@@ -37,6 +37,12 @@ def test_lab_known_values():
     assert lw[1] == pytest.approx(128.0, abs=1.0)
     assert lw[2] == pytest.approx(128.0, abs=1.0)
     assert lb[0] == pytest.approx(0.0, abs=1e-3)
+    # mid-gray pins the sRGB gamma: L*(128) = 53.58 (cv2 5.0), not the
+    # linear-RGB 76.2
+    gray = jnp.full((1, 1, 1, 3), 128.0)
+    assert rgb_to_lab(gray)[0, 0, 0, 0] == pytest.approx(
+        53.582764 * 255.0 / 100.0, abs=0.2
+    )
 
 
 def test_lab_roundtrip():
@@ -181,8 +187,10 @@ def test_mask_to_box_and_crop_geometry():
 
 
 def _clahe_opencv_oracle(l: np.ndarray, clip=3.0, tiles=(8, 8), n_bins=256):
-    """Literal numpy transcription of the OpenCV CLAHE algorithm (even
-    redistribution variant) used as the oracle for the XLA/Pallas versions."""
+    """Literal numpy transcription of the OpenCV CLAHE algorithm (integer
+    residual redistribution + x·inv_tw−0.5 tile coords, clahe.cpp) used as
+    the oracle for the XLA/Pallas versions; itself cross-checked against
+    real cv2 outputs in tests/test_cv2_goldens.py."""
     H, W = l.shape
     ty, tx = tiles
     th, tw = H // ty, W // tx
@@ -194,15 +202,21 @@ def _clahe_opencv_oracle(l: np.ndarray, clip=3.0, tiles=(8, 8), n_bins=256):
         for j in range(tx):
             tile = pix[i * th : (i + 1) * th, j * tw : (j + 1) * tw]
             hist = np.bincount(tile.ravel(), minlength=n_bins).astype(float)
-            excess = np.maximum(hist - limit, 0).sum()
-            hist = np.minimum(hist, limit) + excess / n_bins
+            excess = int(np.maximum(hist - limit, 0).sum())
+            hist = np.minimum(hist, limit)
+            hist += excess // n_bins
+            residual = excess % n_bins
+            if residual:
+                step = max(n_bins // residual, 1)
+                idx = np.arange(0, n_bins, step)[:residual]
+                hist[idx] += 1
             cdf = np.cumsum(hist)
             luts[i, j] = np.clip(np.round(cdf * (n_bins - 1) / area), 0, n_bins - 1)
     out = np.zeros((H, W))
     for y in range(H):
         for x in range(W):
-            fy = (y + 0.5) / th - 0.5
-            fx = (x + 0.5) / tw - 0.5
+            fy = y / th - 0.5
+            fx = x / tw - 0.5
             y0 = int(np.clip(np.floor(fy), 0, ty - 1))
             x0 = int(np.clip(np.floor(fx), 0, tx - 1))
             y1 = min(y0 + 1, ty - 1)
