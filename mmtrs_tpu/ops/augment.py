@@ -122,19 +122,20 @@ def motion_blur(imgs, keys, ksize: int = 5):
 
     kernels = jax.vmap(kern)(keys)  # [B, k, k]
 
-    def one(img, kernel):
-        x = jnp.pad(
-            img,
-            (((k - 1) // 2, k // 2), ((k - 1) // 2, k // 2), (0, 0)),
-            mode="edge",
-        )
-        out = jnp.zeros_like(img)
-        for dy in range(k):
-            for dx in range(k):
-                out = out + x[dy : dy + img.shape[0], dx : dx + img.shape[1]] * kernel[dy, dx]
-        return out
-
-    return jax.vmap(one)(imgs, kernels)
+    # one grouped cross-correlation (lax convs don't flip kernels) instead of
+    # k² full-tensor shift-multiply passes: rides the MXU, one HBM round-trip
+    B, H, W, C = imgs.shape
+    x = jnp.pad(
+        imgs,
+        ((0, 0), ((k - 1) // 2, k // 2), ((k - 1) // 2, k // 2), (0, 0)),
+        mode="edge",
+    )
+    lhs = x.transpose(0, 3, 1, 2).reshape(1, B * C, H + k - 1, W + k - 1)
+    rhs = jnp.repeat(kernels[:, None], C, axis=1).reshape(B * C, 1, k, k)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), "VALID", feature_group_count=B * C
+    )
+    return out.reshape(B, C, H, W).transpose(0, 2, 3, 1)
 
 
 def _gauss_kernel1d(sigma: float, radius: int):
@@ -158,18 +159,24 @@ def elastic(imgs, keys, alpha: float = 10.0, sigma: float = 5.0):
     k1d = _gauss_kernel1d(sigma, radius)
 
     def smooth(f):
-        x = jnp.pad(f, ((radius, radius), (0, 0)), mode="edge")
-        f = sum(x[i : i + H] * k1d[i] for i in range(2 * radius + 1))
-        x = jnp.pad(f, ((0, 0), (radius, radius)), mode="edge")
-        return sum(x[:, i : i + W] * k1d[i] for i in range(2 * radius + 1))
+        """Separable Gaussian over [B,H,W] as two convs (MXU, not 62 slices)."""
+        x = f[:, None]  # [B,1,H,W]
+        x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius), (0, 0)), mode="edge")
+        x = jax.lax.conv_general_dilated(x, k1d.reshape(1, 1, -1, 1), (1, 1), "VALID")
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (radius, radius)), mode="edge")
+        x = jax.lax.conv_general_dilated(x, k1d.reshape(1, 1, 1, -1), (1, 1), "VALID")
+        return x[:, 0]
 
-    def fields(key):
+    def raw_fields(key):
         k1, k2 = jax.random.split(key)
-        dx = smooth(jax.random.uniform(k1, (H, W), minval=-1.0, maxval=1.0)) * alpha
-        dy = smooth(jax.random.uniform(k2, (H, W), minval=-1.0, maxval=1.0)) * alpha
-        return dx, dy
+        return (
+            jax.random.uniform(k1, (H, W), minval=-1.0, maxval=1.0),
+            jax.random.uniform(k2, (H, W), minval=-1.0, maxval=1.0),
+        )
 
-    dx, dy = jax.vmap(fields)(keys)  # [B,H,W] each
+    rdx, rdy = jax.vmap(raw_fields)(keys)
+    dx = smooth(rdx) * alpha  # [B,H,W]
+    dy = smooth(rdy) * alpha
     win = int(np.ceil(alpha)) + 1
     out = shift_axis_windowed(imgs, dy, win, axis=1)
     out = shift_axis_windowed(out, dx, win, axis=2)
