@@ -156,16 +156,26 @@ def elastic(imgs, keys, alpha: float = 10.0, sigma: float = 5.0):
     parity)."""
     B, H, W, C = imgs.shape
     radius = int(3 * sigma)
-    k1d = _gauss_kernel1d(sigma, radius)
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    kk = np.exp(-(xs**2) / (2 * sigma**2))
+    kk = (kk / kk.sum()).astype(np.float32)  # host-side: sigma/radius static
+
+    def band(n):
+        """[n, n] banded Gaussian smoothing matrix with edge-clamp padding
+        folded in (out = M @ f ≡ the padded k-tap correlation). Dense matmul
+        is the MXU-native form — 1-channel convs lower poorly on TPU."""
+        i = np.arange(n)
+        m = np.zeros((n, n), np.float32)
+        for d in range(-radius, radius + 1):
+            j = np.clip(i + d, 0, n - 1)
+            m[i, j] += kk[d + radius]
+        return jnp.asarray(m)
+
+    my, mx = band(H), band(W)
 
     def smooth(f):
-        """Separable Gaussian over [B,H,W] as two convs (MXU, not 62 slices)."""
-        x = f[:, None]  # [B,1,H,W]
-        x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius), (0, 0)), mode="edge")
-        x = jax.lax.conv_general_dilated(x, k1d.reshape(1, 1, -1, 1), (1, 1), "VALID")
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (radius, radius)), mode="edge")
-        x = jax.lax.conv_general_dilated(x, k1d.reshape(1, 1, 1, -1), (1, 1), "VALID")
-        return x[:, 0]
+        """Separable Gaussian over [B,H,W]: My @ f @ Mxᵀ (two matmuls)."""
+        return jnp.einsum("hi,biw->bhw", my, f) @ mx.T
 
     def raw_fields(key):
         k1, k2 = jax.random.split(key)
