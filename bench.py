@@ -23,7 +23,10 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mmtrs_jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
@@ -60,6 +63,10 @@ def main() -> int:
     x = jnp.asarray(synth_batch(batch))
     keys = keys_for_batch(42, np.arange(batch), np.ones(batch))
 
+    # ONE compiled program for the whole chain (the production shape): the
+    # inner jits inline, so there is a single dispatch and no forced HBM
+    # materialization between preprocess and augment
+    @jax.jit
     def fn(v):
         out, info = preprocess_batch(
             v, out_size=512, do_crop=True, do_rotate=True, use_pallas=use_pallas

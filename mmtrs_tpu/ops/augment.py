@@ -262,6 +262,55 @@ def _gate(key, p):
     return jax.random.uniform(key) < p
 
 
+def _subset_cap(B: int, p: float) -> int:
+    """Static sub-batch capacity for a p-gated op: mean + 4σ of
+    Binomial(B, p), so the full-batch fallback fires with probability
+    ≲1e-4 per batch (it is a perf fallback only — both paths are
+    bit-identical per image)."""
+    mu = B * p
+    return min(B, max(2, int(np.ceil(mu + 4.0 * np.sqrt(mu * (1.0 - p)) ))))
+
+
+def subset_apply(op, imgs, on, cap: int, *extras):
+    """Apply a per-image-independent batch op only where ``on[b]``, paying
+    for ``cap`` images instead of B.
+
+    SPMD masking (compute-everything + jnp.where) makes every image pay for
+    every p-gated augmentation; at p=.1 that is 10× the expected cost. This
+    compacts the selected images to the front (argsort of the mask — batch
+    rows are contiguous HBM copies, not per-element gathers), runs ``op`` on
+    a static [cap, ...] sub-batch, and scatters results back. If more than
+    ``cap`` images fire (probability ≲1e-4 by construction), a lax.cond
+    falls back to the full-batch apply — same semantics, just slower.
+
+    ``op(sub_imgs, *sub_extras)`` must be per-image independent (vmap-like);
+    ``extras`` are gathered with the same indices. Untouched rows pass
+    through bit-exact; selected rows match the full-batch apply up to fp
+    contraction ULPs (XLA schedules [cap,...] and [B,...] programs
+    differently) — fine for augmentation, whose albumentations parity is
+    distributional (SURVEY §7 hard-part 3). A given call is still fully
+    deterministic: gates derive from per-origin keys, so the same inputs
+    always take the same path.
+    """
+    B = imgs.shape[0]
+    count = jnp.sum(on.astype(jnp.int32))
+    mask = on[:, None, None, None]
+
+    def subset_path(_):
+        idx = jnp.argsort(~on, stable=True)[:cap]  # selected rows first
+        sub = jnp.take(imgs, idx, axis=0)
+        sub_out = op(sub, *[jnp.take(e, idx, axis=0) for e in extras])
+        keep = on[idx][:, None, None, None]
+        return imgs.at[idx].set(jnp.where(keep, sub_out, sub))
+
+    def full_path(_):
+        return jnp.where(mask, op(imgs, *extras), imgs)
+
+    if cap >= B:
+        return full_path(None)
+    return jax.lax.cond(count <= cap, subset_path, full_path, None)
+
+
 # ---------------------------------------------------------------------------
 # Presets
 # ---------------------------------------------------------------------------
@@ -313,33 +362,42 @@ def augment_legacy(imgs: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512):
     b, c, dh, ds, dv, use_clahe = jax.vmap(phot_params)(pk)
     out = brightness_contrast(out, b, c)
     out = hsv_shift(out, dh, ds, dv)
-    clahed = clahe_rgb(out, clip=2.0, tiles=(8, 8))
-    out = jnp.where(use_clahe[:, None, None, None], clahed, out)
+    # p-gated heavy ops go through subset_apply: pay for ~Bp images, not B
+    out = subset_apply(
+        lambda s: clahe_rgb(s, clip=2.0, tiles=(8, 8)),
+        out, use_clahe, _subset_cap(B, 0.5 / 3.0),
+    )
 
     # noise p=.2
     nk = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+    noise_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.2))(nk)
     var = jax.vmap(
-        lambda k: jnp.where(
-            _gate(jax.random.fold_in(k, 0), 0.2),
-            jax.random.uniform(jax.random.fold_in(k, 1), (), minval=5.0, maxval=15.0),
-            0.0,
+        lambda k: jax.random.uniform(
+            jax.random.fold_in(k, 1), (), minval=5.0, maxval=15.0
         )
     )(nk)
-    out = gauss_noise(out, nk, var)
+    out = subset_apply(
+        lambda s, k, v: gauss_noise(s, k, v),
+        out, noise_on, _subset_cap(B, 0.2), nk, var,
+    )
 
     # motion blur p=.1
     bk = jax.vmap(lambda k: jax.random.fold_in(k, 3))(keys)
     blur_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(bk)
-    blurred = motion_blur(out, bk, ksize=5)
-    out = jnp.where(blur_on[:, None, None, None], blurred, out)
+    out = subset_apply(
+        lambda s, k: motion_blur(s, k, ksize=5),
+        out, blur_on, _subset_cap(B, 0.1), bk,
+    )
 
     # elastic p=.1
     ek = jax.vmap(lambda k: jax.random.fold_in(k, 4))(keys)
     el_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(ek)
-    warped = elastic(out, ek, alpha=10.0, sigma=5.0)
-    out = jnp.where(el_on[:, None, None, None], warped, out)
+    out = subset_apply(
+        lambda s, k: elastic(s, k, alpha=10.0, sigma=5.0),
+        out, el_on, _subset_cap(B, 0.1), ek,
+    )
 
-    # coarse dropout p=.1
+    # coarse dropout p=.1 (cheap mask op — plain SPMD masking is fine)
     dk = jax.vmap(lambda k: jax.random.fold_in(k, 5))(keys)
     dr_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(dk)
     dropped = coarse_dropout(out, dk, hole=max(1, img_size // 24))
@@ -396,15 +454,19 @@ def augment_ten(imgs: jnp.ndarray, keys: jnp.ndarray, aug_idx: jnp.ndarray):
     b, c, dh, ds, dv, var = jax.vmap(phot_params)(keys, which)
     out = brightness_contrast(out, b, c)
     out = hsv_shift(out, dh, ds, dv)
-    out = gauss_noise(out, jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys), var)
-
-    blurred = motion_blur(out, jax.vmap(lambda k: jax.random.fold_in(k, 8))(keys), 5)
-    out = jnp.where((which == 8)[:, None, None, None], blurred, out)
-
-    warped = elastic(
-        out, jax.vmap(lambda k: jax.random.fold_in(k, 9))(keys), alpha=10.0, sigma=5.0
+    # each variant hits ~B/10 images; cap at B·0.2+4σ to absorb skewed
+    # batches (variant-sorted callers overflow to the exact full apply)
+    cap = _subset_cap(B, 0.2)
+    nk = jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys)
+    out = subset_apply(
+        lambda s, k, v: gauss_noise(s, k, v), out, which == 7, cap, nk, var
     )
-    out = jnp.where((which == 9)[:, None, None, None], warped, out)
+    bk = jax.vmap(lambda k: jax.random.fold_in(k, 8))(keys)
+    out = subset_apply(lambda s, k: motion_blur(s, k, 5), out, which == 8, cap, bk)
+    ek = jax.vmap(lambda k: jax.random.fold_in(k, 9))(keys)
+    out = subset_apply(
+        lambda s, k: elastic(s, k, alpha=10.0, sigma=5.0), out, which == 9, cap, ek
+    )
     return jnp.clip(out, 0.0, 255.0)
 
 

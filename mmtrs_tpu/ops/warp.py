@@ -241,7 +241,7 @@ def _resample_rows_affine(
     imgs: jnp.ndarray,
     alpha: jnp.ndarray,
     beta: jnp.ndarray,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.HIGH,
 ) -> jnp.ndarray:
     """``out[b,y,x] = in[b, y, α[b]·x + β[b,y]]`` — one per-row butterfly
     shift + one per-image interpolation MATMUL. The per-axis building

@@ -45,8 +45,19 @@ def _decode_image(b64: str) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
 
 
+def _encode_png(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(arr, dtype=np.uint8)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
 def serve_http(service: PredictService, host: str = "127.0.0.1", port: int = 7860):
-    """Minimal JSON API: GET / → form schema + dashboard; POST /predict."""
+    """JSON API + browser UI: GET / → form schema + dashboard (JSON);
+    GET /ui → the HTML serving surface (the reference's Gradio form —
+    ui/gradio_app/app.py:25-86 — as a dependency-free page over the same
+    API); POST /predict (set ``include_processed`` for the preview)."""
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -59,6 +70,14 @@ def serve_http(service: PredictService, host: str = "127.0.0.1", port: int = 786
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path.rstrip("/") == "/ui":
+                body = build_ui_html().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             self._send(
                 200,
                 {
@@ -81,7 +100,9 @@ def serve_http(service: PredictService, host: str = "127.0.0.1", port: int = 786
                     thr_mode=req.get("thr_mode", "max_f1"),
                     threshold=req.get("threshold"),
                 )
-                out.pop("processed_image", None)
+                proc = out.pop("processed_image", None)
+                if req.get("include_processed") and proc is not None:
+                    out["processed_image_b64"] = _encode_png(proc)
                 self._send(200 if "error" not in out else 400, out)
             except Exception as e:  # pragma: no cover
                 self._send(500, {"error": str(e)})
@@ -92,6 +113,99 @@ def serve_http(service: PredictService, host: str = "127.0.0.1", port: int = 786
     httpd = HTTPServer((host, port), Handler)
     print(f"serving on http://{host}:{port}")
     httpd.serve_forever()
+
+
+def build_ui_html() -> str:
+    """The serving UI as a dependency-free HTML page over the JSON API.
+
+    Functional parity with the reference's Gradio Blocks app
+    (ui/gradio_app/app.py:25-86): tooth-photo upload, the 9 clinical
+    dropdowns (choices pulled live from GET / so they always match the
+    standardizer encodings), threshold-mode selector, prediction label,
+    per-stream probability table, processed-image preview, and the
+    performance dashboard (app.py:157-214)."""
+    return """<!doctype html>
+<html><head><meta charset="utf-8"><title>Tooth Restoration Selection (TPU)</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem auto;max-width:60rem;color:#222}
+ h1{font-size:1.4rem} .row{display:flex;gap:2rem;flex-wrap:wrap}
+ .col{flex:1;min-width:18rem} label{display:block;margin:.5rem 0 .15rem;font-size:.85rem}
+ select,input[type=file]{width:100%;padding:.3rem} button{margin-top:1rem;padding:.5rem 1.4rem;font-size:1rem;cursor:pointer}
+ table{border-collapse:collapse;margin-top:.75rem} td,th{border:1px solid #bbb;padding:.25rem .7rem;font-size:.9rem}
+ #label{font-size:1.15rem;font-weight:600;margin-top:1rem} #dash{color:#555;font-size:.85rem}
+ img#proc{max-width:16rem;border:1px solid #ccc;margin-top:.5rem}
+ .err{color:#b00}
+</style></head><body>
+<h1>Direct vs. Indirect restoration — TPU serving UI</h1>
+<div id="dash">loading dashboard…</div>
+<div class="row">
+ <div class="col">
+  <label>Tooth photograph</label><input type="file" id="image" accept="image/*">
+  <img id="proc" hidden>
+ </div>
+ <div class="col" id="fields"></div>
+</div>
+<button id="go">Preprocess &amp; Predict</button>
+<div id="label"></div>
+<table id="streams" hidden><thead><tr><th>stream</th><th>probability</th></tr></thead><tbody></tbody></table>
+<script>
+let schema;
+async function init(){
+  schema = await (await fetch("/")).json();
+  const m = schema.metrics && (schema.metrics.test || schema.metrics);
+  if (m && m.auc !== undefined)
+    document.getElementById("dash").textContent =
+      `Test AUC ${m.auc} · Acc ${m.acc} · F1 ${m.f1 ?? ""}`;
+  const holder = document.getElementById("fields");
+  for (const [field, choices] of Object.entries(schema.fields)){
+    const l = document.createElement("label"); l.textContent = field;
+    const s = document.createElement("select"); s.id = "f_" + field;
+    s.append(new Option("(not provided)", ""));
+    for (const c of choices) s.append(new Option(c, c));
+    holder.append(l, s);
+  }
+  const l = document.createElement("label"); l.textContent = "threshold mode";
+  const s = document.createElement("select"); s.id = "thr_mode";
+  for (const c of schema.threshold_modes) s.append(new Option(c, c));
+  s.value = "max_f1";
+  holder.append(l, s);
+}
+function fileToB64(f){return new Promise((res, rej) => {
+  const r = new FileReader();
+  r.onload = () => res(r.result.split(",")[1]); r.onerror = rej;
+  r.readAsDataURL(f);});}
+async function predict(){
+  const out = document.getElementById("label");
+  const f = document.getElementById("image").files[0];
+  if (!f){ out.textContent = "choose an image first"; out.className = "err"; return; }
+  out.className = ""; out.textContent = "running…";
+  const fields = {};
+  for (const k of Object.keys(schema.fields)){
+    const v = document.getElementById("f_" + k).value;
+    if (v) fields[k] = v;
+  }
+  const body = {image_b64: await fileToB64(f), fields,
+                thr_mode: document.getElementById("thr_mode").value,
+                include_processed: true};
+  const r = await fetch("/predict", {method: "POST", body: JSON.stringify(body)});
+  const j = await r.json();
+  if (j.error){ out.textContent = j.error; out.className = "err"; return; }
+  out.textContent = `${j.label} (p=${(+j.p_indirect).toFixed(3)}, thr=${(+j.threshold).toFixed(3)})`;
+  const tb = document.querySelector("#streams tbody"); tb.innerHTML = "";
+  for (const [k, v] of Object.entries(j.streams || {})){
+    const tr = document.createElement("tr");
+    tr.innerHTML = `<td>${k}</td><td>${(+v).toFixed(4)}</td>`;
+    tb.append(tr);
+  }
+  document.getElementById("streams").hidden = false;
+  if (j.processed_image_b64){
+    const im = document.getElementById("proc");
+    im.src = "data:image/png;base64," + j.processed_image_b64; im.hidden = false;
+  }
+}
+document.getElementById("go").addEventListener("click", predict);
+init();
+</script></body></html>"""
 
 
 def build_gradio_app(service: PredictService):  # pragma: no cover - needs gradio

@@ -236,9 +236,17 @@ def run_mm_kfold(
     df_tv = df.iloc[tv].reset_index(drop=True)
     oof = np.full(len(tv), np.nan)
     test_probs, fold_summaries = [], []
+    mlog = None
+    if outdir is not None:  # structured observability (SURVEY §5)
+        from mmtrs_tpu.utils.profiling import StructuredLogger
+
+        mlog = StructuredLogger(Path(outdir) / "metrics.jsonl")
     for fold, (tr_rel, va_rel) in enumerate(mm_fold_splits(df_tv, cfg.n_folds)):
         tr, va = tv[tr_rel], tv[va_rel]
         best = trainer.fit_fold(images, tab_raw, y, p_soft, tr, va, epochs, log)
+        if mlog is not None:
+            mlog.log("fold_done", fold=fold, val_auc=float(best["auc"]),
+                     thr=float(best["thr"]), T=float(best["T"]))
         oof[va_rel] = trainer.predict_proba(best, images[va], tab_raw[va])
         if len(te):
             test_probs.append(trainer.predict_proba(best, images[te], tab_raw[te]))

@@ -127,3 +127,31 @@ def test_augment_batch_dispatch(batch):
     assert out.shape == imgs.shape
     with pytest.raises(ValueError):
         augment_batch(imgs, keys, "bogus")
+
+
+def test_subset_apply_matches_full_masked_apply(batch):
+    """subset_apply (static-cap batch compaction) must reproduce the plain
+    compute-everything + jnp.where SPMD masking it replaces, for every mask
+    population up to and beyond the cap (overflow → fallback): untouched
+    rows bit-exact, selected rows equal up to fp-contraction ULPs (XLA
+    schedules the [cap,...] and [B,...] programs differently)."""
+    from mmtrs_tpu.ops.augment import subset_apply
+
+    imgs, keys = batch
+    op = lambda s, k: gauss_noise(s, k, jnp.full(s.shape[0], 9.0))
+    masks = [jnp.arange(6) < n for n in (0, 1, 3, 5, 6)]
+    masks.append(jnp.asarray([True, False, False, True, False, True]))
+    for on in masks:  # cap=3 exercises both the subset and fallback paths
+        want = np.where(np.asarray(on)[:, None, None, None], op(imgs, keys), imgs)
+        got = np.asarray(subset_apply(op, imgs, on, 3, keys))
+        off = ~np.asarray(on)
+        np.testing.assert_array_equal(got[off], np.asarray(imgs)[off])
+        np.testing.assert_allclose(got, want, atol=1e-3)  # 0..255 scale
+
+
+def test_subset_cap_is_sane():
+    from mmtrs_tpu.ops.augment import _subset_cap
+
+    assert _subset_cap(32, 0.1) < 16  # pays ≤ half the batch at p=.1
+    assert _subset_cap(2, 0.1) == 2  # tiny batches degrade to full apply
+    assert _subset_cap(32, 1.0) == 32

@@ -77,3 +77,28 @@ def test_rng_batch_keys_match_scalar_path():
     u = jax.vmap(lambda k: jax.random.uniform(k))(ks)
     assert u.shape == (2,)
     assert jnp.all((u >= 0) & (u < 1))
+
+
+def test_structured_logger_roundtrip(tmp_path):
+    from mmtrs_tpu.utils.profiling import StructuredLogger
+
+    log = StructuredLogger(tmp_path / "m" / "metrics.jsonl")
+    log.log("fold_done", fold=0, val_auc=0.91)
+    log.log("epoch", fold=0, imgs_per_sec=123.4, note=object())  # non-JSON coerced
+    recs = log.read()
+    assert [r["event"] for r in recs] == ["fold_done", "epoch"]
+    assert recs[0]["val_auc"] == 0.91 and "ts" in recs[0]
+    assert isinstance(recs[1]["note"], str)
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.utils.profiling import annotate, trace
+
+    with trace(tmp_path / "tr"):
+        with annotate("tiny_op"):
+            (jnp.ones((8, 8)) * 2).block_until_ready()
+    # jax.profiler writes a plugins/profile/<run>/ tree with .xplane.pb
+    found = list((tmp_path / "tr").rglob("*.xplane.pb"))
+    assert found, "no profiler artifact written"

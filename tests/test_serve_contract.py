@@ -136,3 +136,24 @@ def test_http_predict_error_contract(http_server):
     except urllib.error.HTTPError as e:
         out = json.loads(e.read())
     assert "error" in out
+
+
+def test_http_ui_page_renders_full_form(http_server):
+    """GET /ui serves the browser UI (the reference Gradio surface —
+    ui/gradio_app/app.py:25-86 — as a dependency-free HTML page): upload,
+    per-field dropdowns (populated from the live schema), threshold-mode
+    selector, predict action, streams table, processed-image preview."""
+    with urllib.request.urlopen(f"http://127.0.0.1:{http_server}/ui") as r:
+        assert r.headers["Content-Type"].startswith("text/html")
+        html = r.read().decode()
+    for needle in (
+        'id="image"',        # tooth-photo upload
+        'id="fields"',       # dropdown form (fed by GET / schema)
+        'id="thr_mode"',     # threshold-mode selector
+        'id="go"',           # Preprocess & Predict action
+        'id="streams"',      # per-stream probability table
+        'id="proc"',         # processed-image preview
+        'id="dash"',         # performance dashboard
+        "/predict",          # wired to the JSON API
+    ):
+        assert needle in html, needle
