@@ -356,16 +356,19 @@ def augment_legacy(imgs: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512):
         dv = jnp.where(on & (which == 2),
                        jax.random.uniform(kh3, (), minval=-8.0, maxval=8.0), 0.0)
         use_clahe = on & (which == 0)
-        return b, c, dh, ds, dv, use_clahe
+        use_hsv = on & (which == 2)
+        return b, c, dh, ds, dv, use_clahe, use_hsv
 
     pk = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-    b, c, dh, ds, dv, use_clahe = jax.vmap(phot_params)(pk)
+    b, c, dh, ds, dv, use_clahe, use_hsv = jax.vmap(phot_params)(pk)
     out = brightness_contrast(out, b, c)
-    out = hsv_shift(out, dh, ds, dv)
     # p-gated heavy ops go through subset_apply: pay for ~Bp images, not B
+    cap16 = _subset_cap(B, 0.5 / 3.0)
     out = subset_apply(
-        lambda s: clahe_rgb(s, clip=2.0, tiles=(8, 8)),
-        out, use_clahe, _subset_cap(B, 0.5 / 3.0),
+        lambda s, h, sa, v: hsv_shift(s, h, sa, v), out, use_hsv, cap16, dh, ds, dv
+    )
+    out = subset_apply(
+        lambda s: clahe_rgb(s, clip=2.0, tiles=(8, 8)), out, use_clahe, cap16
     )
 
     # noise p=.2
@@ -453,10 +456,12 @@ def augment_ten(imgs: jnp.ndarray, keys: jnp.ndarray, aug_idx: jnp.ndarray):
 
     b, c, dh, ds, dv, var = jax.vmap(phot_params)(keys, which)
     out = brightness_contrast(out, b, c)
-    out = hsv_shift(out, dh, ds, dv)
     # each variant hits ~B/10 images; cap at B·0.2+4σ to absorb skewed
     # batches (variant-sorted callers overflow to the exact full apply)
     cap = _subset_cap(B, 0.2)
+    out = subset_apply(
+        lambda s, h, sa, v: hsv_shift(s, h, sa, v), out, which == 6, cap, dh, ds, dv
+    )
     nk = jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys)
     out = subset_apply(
         lambda s, k, v: gauss_noise(s, k, v), out, which == 7, cap, nk, var
@@ -517,10 +522,16 @@ def augment_simple(imgs: jnp.ndarray, keys: jnp.ndarray, aug_idx: jnp.ndarray):
 
     b, c, ds, var = jax.vmap(phot_params)(keys, which)
     out = brightness_contrast(out, b, c)
-    out = hsv_shift(out, jnp.zeros_like(ds), ds, jnp.zeros_like(ds))
-    out = gauss_noise(out, jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys), var)
-    blurred = gaussian_blur3(out)
-    out = jnp.where((which == 8)[:, None, None, None], blurred, out)
+    cap = _subset_cap(B, 0.2)
+    out = subset_apply(
+        lambda s, sa: hsv_shift(s, jnp.zeros_like(sa), sa, jnp.zeros_like(sa)),
+        out, which == 6, cap, ds,
+    )
+    nk = jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys)
+    out = subset_apply(
+        lambda s, k, v: gauss_noise(s, k, v), out, which == 7, cap, nk, var
+    )
+    out = subset_apply(lambda s: gaussian_blur3(s), out, which == 8, cap)
     return jnp.clip(out, 0.0, 255.0)
 
 

@@ -106,16 +106,22 @@ def deskew_batch(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rotate each image so its dominant edge axis lies horizontal; skip
     small corrections (|angle| < tolerance). Returns (imgs, applied_angle).
-    The whole-batch warp is skipped via ``lax.cond`` when nothing rotates."""
+
+    The 15° tolerance means most images skip the rotation, but one firing
+    image used to drag the whole batch through the 3-shear warp — the warp
+    now goes through :func:`subset_apply` (static-cap batch compaction,
+    full-batch fallback if more than B/4 images fire)."""
+    from mmtrs_tpu.ops.augment import subset_apply
+
     B, H, W, _ = imgs.shape
     angle = estimate_skew_angle(imgs, low, high)
     apply = jnp.abs(angle) >= tolerance_deg
     eff = jnp.where(apply, angle, 0.0)
 
-    def do_warp(x):
+    def do_warp(x, a):
         # gather-free 3-shear rotation (see warp.rotate_shear3); the
         # reference rotates about (W/2, H/2) (normalise.py:48-56)
-        return rotate_shear3(x, eff, center_xy=(W / 2.0, H / 2.0))
+        return rotate_shear3(x, a, center_xy=(W / 2.0, H / 2.0))
 
-    out = jax.lax.cond(jnp.any(apply), do_warp, lambda x: x, imgs)
+    out = subset_apply(do_warp, imgs, apply, max(2, B // 4), eff)
     return out, eff
