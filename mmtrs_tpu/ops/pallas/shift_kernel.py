@@ -87,33 +87,28 @@ def shift_rows_pallas(rows: jnp.ndarray, off: jnp.ndarray, block_rows: int = 256
 
 def _shift_rows_pp_kernel(img_ref, off_ref, out_ref, *, W, max_shift):
     """Per-pixel bounded shift: out[r,x] = in[r, x+off[r,x]], |off|≤max_shift.
+    Windowed taps with in-VMEM rolls (replicate border via src clamping).
 
-    Per-pixel integer log-cascade + fractional blend: the source index
-    splits into src = k + f (k integer, f ∈ [0,1)); the per-pixel shift
-    s = k − x ∈ [−m, m] becomes a non-negative cascade amount s+m ≤ 2m,
-    applied as ⌈log2(2m+1)⌉ roll+select steps to TWO pre-rolled copies of
-    the row (base a: roll +m → in[x+s]; base b: roll +m−1 → in[x+s+1]) —
-    both cascades share the same per-pixel bit masks. ~28 vector ops vs
-    the previous 2m+2-tap window's ~120 at m=11 (elastic α=10)."""
+    NOTE a per-pixel log-cascade (roll+select by the bits of the shift
+    amount) was tried and is WRONG: after the first data-dependent select,
+    a uniform roll moves values whose partial shifts belong to OTHER
+    destination pixels — the butterfly invariant only holds for row-uniform
+    shifts (tests/test_pallas_tpu.py caught 60% mismatch). The 2m+2 tap
+    window is the correct gather-free form."""
     x = img_ref[...]  # [R, W]
     off = off_ref[...]  # [R, W]
-    m = max_shift
     xx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1).astype(jnp.float32)
     src = jnp.clip(xx + off, 0.0, W - 1.0)
-    k = jnp.floor(src)
-    f = src - k
-    s_nn = (k - xx).astype(jnp.int32) + m  # ∈ [0, 2m]
-
-    a = pltpu.roll(x, m % W, axis=1)  # a[x] = in[x − m]
-    b = pltpu.roll(x, (m - 1) % W, axis=1)  # b[x] = in[x − m + 1]
-    bit = 1
-    while bit <= 2 * m:
-        take = (s_nn & bit) != 0
-        a = jnp.where(take, pltpu.roll(a, (W - bit) % W, axis=1), a)
-        b = jnp.where(take, pltpu.roll(b, (W - bit) % W, axis=1), b)
-        bit *= 2
-    out = (1.0 - f) * a + f * b
-
+    rel = src - xx  # ∈ [-m, m]
+    out = jnp.zeros_like(x)
+    m = max_shift
+    for k in range(-m, m + 2):
+        w = jnp.maximum(1.0 - jnp.abs(rel - k), 0.0)
+        tap = pltpu.roll(x, (W - k) % W, axis=1)
+        # wrap-around taps point at the other edge; src clamping keeps the
+        # needed taps in range except at the first/last m columns, where
+        # replicate is enforced below
+        out = out + w * tap
     left = jax.lax.broadcast_in_dim(x[:, 0], x.shape, (0,))
     right = jax.lax.broadcast_in_dim(x[:, W - 1], x.shape, (0,))
     out = jnp.where(src <= 0.0, left, out)

@@ -34,6 +34,18 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def device_put_dataset(x) -> jnp.ndarray:
+    """Move a whole (uint8) image dataset into HBM once per run.
+
+    Trainers index ``images[sel]`` every step; with a host numpy array that
+    is a fancy-index copy + a host→device transfer of the batch through the
+    (slow, on tunneled TPUs) PCIe/tunnel hop — per step. Device-resident, it
+    is an on-chip row gather. No-op if already a jax.Array."""
+    if isinstance(x, jax.Array):
+        return x
+    return jnp.asarray(np.ascontiguousarray(x))
+
+
 def normalize_imagenet(imgs: jnp.ndarray) -> jnp.ndarray:
     """uint8/float 0..255 [B,H,W,3] → ImageNet-normalized float32
     (datasets.py:21-22)."""

@@ -218,7 +218,8 @@ class KFoldHardTrainer:
             imgs = images[s : s + bs]
             pad = bs - len(imgs) if len(imgs) < bs else 0
             if pad:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+                # jnp concat: images may be device-resident (run_hard_kfold)
+                imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
             x = self._prep(imgs)
             l = np.asarray(self._eval_step(state, x))
             if tta:
@@ -277,9 +278,9 @@ class KFoldHardTrainer:
                     )
                 tp.start()
                 state, m = self._train_step(state, {"x": x, "y": t})
-                jax.block_until_ready(m["loss"])
+                jax.block_until_ready(m["loss"])  # one sync: honest imgs/s
                 tp.stop(len(bidx))
-                stats.append({k: float(v) for k, v in m.items()})
+                stats.append(m)  # device scalars; fetched once per epoch
                 if ema_params is not None:
                     ema_params = jax.tree.map(
                         lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
@@ -290,6 +291,7 @@ class KFoldHardTrainer:
                            opt_state=state.opt_state, step=state.step)
                 if ema_params is not None else state
             )
+            stats = jax.device_get(stats)
             p_val = self.predict_proba(eval_state, images[val_idx], tta=False)
             auc = roc_auc(y[val_idx], p_val)
             log(
@@ -346,6 +348,10 @@ def run_hard_kfold(
     tv = np.nonzero(~is_test)[0]
     te = np.nonzero(is_test)[0]
     trainer = KFoldHardTrainer(cfg, mesh=mesh)
+    # HBM-resident dataset (see run_mm_kfold): per-step device gather
+    from mmtrs_tpu.train.common import device_put_dataset
+
+    images = device_put_dataset(images)
 
     if via_folds is not None:
         folds = via_folds["fold"].to_numpy()

@@ -121,7 +121,8 @@ class MILTrainer:
                 state, loss = self._train_step(
                     state, {"bags": bags, "y": jnp.asarray(y[sel].astype(np.float32))}
                 )
-                losses.append(float(loss))
+                losses.append(loss)  # device scalar: no per-step host sync
+            losses = np.asarray(jnp.stack(losses))  # ONE sync per epoch
             p_val = self.predict_proba(state, images[val_idx], origin_ids[val_idx])
             auc = roc_auc(y[val_idx], p_val)
             log(f"[mil ep {ep}] loss {np.mean(losses):.4f} val_auc {auc:.4f}")
@@ -140,7 +141,8 @@ class MILTrainer:
             imgs = images[s : s + bs]
             pad = bs - len(imgs) if len(imgs) < bs else 0
             if pad:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+                # jnp concat: images may be device-resident (run_mil_kfold)
+                imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
                 oid = np.concatenate([origin_ids[s:], np.repeat(origin_ids[-1:], pad)])
             else:
                 oid = origin_ids[s : s + bs]
@@ -177,6 +179,11 @@ def run_mil_kfold(
     tv = np.nonzero(~is_test)[0]
     te = np.nonzero(is_test)[0]
 
+    # dataset lives in HBM for the whole run (see run_mm_kfold): per-step
+    # images[sel] is a device gather, not a host copy + transfer
+    from mmtrs_tpu.train.common import device_put_dataset
+
+    images = device_put_dataset(images)
     oof = np.full(len(tv), np.nan)
     test_probs = []
     fold_aucs = []

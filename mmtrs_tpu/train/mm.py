@@ -151,7 +151,9 @@ class MMTrainer:
             t = jnp.asarray(tab[s : s + bs], jnp.float32)
             pad = bs - len(imgs) if len(imgs) < bs else 0
             if pad:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+                # jnp (not np) concat: images may be device-resident — np.*
+                # would silently pull the batch back to host
+                imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
                 t = jnp.concatenate([t, jnp.repeat(t[-1:], pad, 0)])
             x = self._prep(imgs)
             views = [x, x[:, :, ::-1, :], x[:, ::-1, :, :]] if tta else [x]
@@ -181,7 +183,10 @@ class MMTrainer:
                     "p": jnp.asarray(p_soft[sel].astype(np.float32)),
                 }
                 state, loss = self._train_step(state, batch)
-                losses.append(float(loss))
+                losses.append(loss)  # device scalar: no per-step host sync
+            # ONE device→host sync per epoch (per-step float() costs a
+            # full tunnel round-trip on remote TPUs)
+            losses = np.asarray(jnp.stack(losses))
             # per-epoch temperature scaling on val logits (:270-287)
             lv = self.logits(state, images[val_idx], tab[val_idx], tta=False)
             ts = TemperatureScaler().fit(lv, y[val_idx])
@@ -233,6 +238,12 @@ def run_mm_kfold(
     te = np.nonzero(is_test)[0]
 
     trainer = MMTrainer(cfg, mesh=mesh)
+    # dataset lives in HBM for the whole run: per-step images[sel] becomes a
+    # device gather instead of a host fancy-index + 100 MB host→device copy
+    # (uint8, so a 422-case 10×-augmented cohort at 512px is ~3.6 GB)
+    from mmtrs_tpu.train.common import device_put_dataset
+
+    images = device_put_dataset(images)
     df_tv = df.iloc[tv].reset_index(drop=True)
     oof = np.full(len(tv), np.nan)
     test_probs, fold_summaries = [], []

@@ -129,8 +129,14 @@ class VisionTrainer:
 
     def fit(self, train: VisionData, val: VisionData, epochs: int | None = None,
             state: TrainState | None = None, log=print):
+        from mmtrs_tpu.train.common import device_put_dataset
+
         cfg = self.cfg
         epochs = epochs or cfg.epochs
+        # HBM-resident datasets: per-step images[bidx] is a device gather,
+        # not a host fancy-index + per-step host→device transfer
+        train.images = device_put_dataset(train.images)
+        val.images = device_put_dataset(val.images)
         n = len(train)
         steps_per_epoch = max(n // cfg.batch_size, 1)
         if state is None:
@@ -172,10 +178,11 @@ class VisionTrainer:
                     batch["w"] = jnp.asarray(train.w[bidx].astype(np.float32))
                 tp.start()
                 state, m = self._train_step(state, batch)
-                jax.block_until_ready(m["loss"])
+                jax.block_until_ready(m["loss"])  # one sync: honest imgs/s
                 tp.stop(len(bidx))
-                losses.append(float(m["loss"]))
+                losses.append(m["loss"])  # device scalar; fetched per epoch
 
+            losses = jax.device_get(losses)
             val_metrics = self.evaluate(state, val, tta=False)
             history.append(
                 {"epoch": ep, "train_loss": float(np.mean(losses)), **val_metrics,
@@ -203,7 +210,8 @@ class VisionTrainer:
             imgs = data.images[s : s + bs]
             pad = bs - len(imgs) if len(imgs) < bs else 0
             if pad:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+                # jnp concat: images may be device-resident (fit())
+                imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
             x = self._prep_images(imgs, False, 0)
             views = [x, x[:, :, ::-1, :]] if tta else [x]
             ps = []

@@ -160,7 +160,8 @@ def main() -> int:
             jax.numpy.asarray(chunk), out_size=args.raw_size,
             use_pallas=use_pallas,
         )
-        o = np.asarray(o).astype(np.uint8)
+        # uint8 cast ON DEVICE: the tunnel fetch moves 1 byte/px, not 4
+        o = np.asarray(jax.numpy.clip(jax.numpy.round(o), 0, 255).astype(jax.numpy.uint8))
         proc[s : s + bs] = o[: bs - pad] if pad else o
     timings["preprocess_s"] = time.perf_counter() - t0
     timings["preprocess_imgs_per_s"] = len(raw) / timings["preprocess_s"]

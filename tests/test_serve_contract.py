@@ -149,7 +149,7 @@ def test_http_ui_page_renders_full_form(http_server):
     for needle in (
         'id="image"',        # tooth-photo upload
         'id="fields"',       # dropdown form (fed by GET / schema)
-        'id="thr_mode"',     # threshold-mode selector
+        'thr_mode',          # threshold-mode selector (built from schema JS-side)
         'id="go"',           # Preprocess & Predict action
         'id="streams"',      # per-stream probability table
         'id="proc"',         # processed-image preview
