@@ -61,7 +61,8 @@ def main() -> int:
     use_pallas = platform == "tpu"
     # batch 128: per-image cost is batch-invariant (compute-bound) but the
     # per-program dispatch through the axon tunnel is a measured ~2.6 ms
-    # floor — batch 32 donates 11% of the chain to dispatch, 128 only 3%
+    # floor — batch 32 donates 11% to dispatch, 128 only 3% (256 OOMs: the
+    # warp interp matrices are [B,512,512] f32 each)
     batch = 128 if platform == "tpu" else 8
     x = jnp.asarray(synth_batch(batch))
     keys = keys_for_batch(42, np.arange(batch), np.ones(batch))
