@@ -133,7 +133,13 @@ def motion_blur(imgs, keys, ksize: int = 5):
     lhs = x.transpose(0, 3, 1, 2).reshape(1, B * C, H + k - 1, W + k - 1)
     rhs = jnp.repeat(kernels[:, None], C, axis=1).reshape(B * C, 1, k, k)
     out = jax.lax.conv_general_dilated(
-        lhs, rhs, (1, 1), "VALID", feature_group_count=B * C
+        lhs,
+        rhs,
+        (1, 1),
+        "VALID",
+        feature_group_count=B * C,
+        precision=jax.lax.Precision.HIGH,
+        preferred_element_type=jnp.float32,
     )
     return out.reshape(B, C, H, W).transpose(0, 2, 3, 1)
 
@@ -308,7 +314,13 @@ def subset_apply(op, imgs, on, cap: int, *extras):
 
     if cap >= B:
         return full_path(None)
-    return jax.lax.cond(count <= cap, subset_path, full_path, None)
+
+    def nonzero_path(_):
+        return jax.lax.cond(count <= cap, subset_path, full_path, None)
+
+    # zero-cost no-op when nothing fires (the common case for deskew's 15°
+    # tolerance gate and for small-B p-gated ops): skip even the cap-sized op
+    return jax.lax.cond(count == 0, lambda _: imgs, nonzero_path, None)
 
 
 # ---------------------------------------------------------------------------

@@ -49,7 +49,11 @@ def _encode_png(arr: np.ndarray) -> str:
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.fromarray(np.asarray(arr, dtype=np.uint8)).save(buf, format="PNG")
+    # clip+round to match the on-device quantization contract used by
+    # data/records.py (truncation would disagree with training artifacts by
+    # up to one intensity level)
+    u8 = np.clip(np.round(np.asarray(arr, dtype=np.float32)), 0, 255).astype(np.uint8)
+    Image.fromarray(u8).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode()
 
 

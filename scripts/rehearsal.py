@@ -235,15 +235,17 @@ def main() -> int:
         },
         "stack": {"oof": summary["oof"], "test": summary["test"],
                   "thr": summary["thr"]},
-        "stack_beats_streams": bool(
-            summary["test"]["auc"]
-            >= max(
-                roc_auc(mm["test"]["y"], mm["test"]["prob"]),
-                roc_auc(mil["test"]["y"], mil["test"]["prob"]),
-            )
-            - 0.02
-        ),
     }
+    # strict comparison, both operands on the record: the reference's
+    # defining property is stack > every stream (results/stack_v2 0.8695 vs
+    # mm 0.7959 / mil 0.8178), so no fudge factor here — a miss must show
+    # as false in the artifact.
+    best_stream = max(
+        roc_auc(mm["test"]["y"], mm["test"]["prob"]),
+        roc_auc(mil["test"]["y"], mil["test"]["prob"]),
+    )
+    rec["best_stream_test_auc"] = float(best_stream)
+    rec["stack_beats_streams"] = bool(summary["test"]["auc"] >= best_stream)
     (out / "summary.json").write_text(json.dumps(rec, indent=2, default=float))
     print(json.dumps(rec["stack"], indent=2, default=float))
     print(f"[rehearsal] total {timings['total_s']:.0f}s → {out}/summary.json")
