@@ -280,6 +280,11 @@ class MMJointConfig:
     n_folds: int = 5
     seed: int = 42
     thr_grid: tuple[float, float, int] = (0.2, 0.8, 61)
+    # train-time augmentation (reference trains under timm create_transform
+    # with RandAugment rand-m9-mstd0.5-inc1 + random-erasing 0.2 —
+    # train_mm_joint_dualtask.py:72-93); "none" disables (eval is never
+    # augmented either way)
+    train_aug: str = "randaug"
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,7 @@ from mmtrs_tpu.ops.warp import (
     affineize_homography,
     hflip3,
     identity3,
+    mat3,
     rotate3,
     scale3,
     shift_axis_windowed,
@@ -261,7 +262,8 @@ def ssr3(key, H, W, shift=0.05, scale=0.10, rot=12.0):
     from mmtrs_tpu.ops.warp import _to_3x3, rotation_matrix
 
     m = _to_3x3(rotation_matrix(ang, c, sc))
-    return translate3(tx, ty) @ m
+    from mmtrs_tpu.ops.warp import mat3 as _m3
+    return _m3(translate3(tx, ty), m)
 
 
 def _gate(key, p):
@@ -328,30 +330,39 @@ def subset_apply(op, imgs, on, cap: int, *extras):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("img_size",))
-def augment_legacy(imgs: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512):
-    """The ``legacy`` albumentations pipeline as one fused batch op."""
-    B, H, W, C = imgs.shape
+def legacy_geo_mats(keys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Per-sample composite geometric matrix of the ``legacy`` preset
+    ([B,3,3] forward cv2 maps for an [H,W] frame). Split out so the fused
+    preprocess path (preprocess.crop_warp composition) can absorb this
+    matrix into the crop resample — key derivation is identical to
+    :func:`augment_legacy`."""
 
     def geo_matrix(key):
         kh, kv, ks, kp, kg = jax.random.split(key, 5)
         m = identity3()
-        m = jnp.where(_gate(kh, 0.5), hflip3(float(W)) @ m, m)
-        m = jnp.where(_gate(kv, 0.05), vflip3(float(H)) @ m, m)
-        m = jnp.where(_gate(jax.random.fold_in(ks, 1), 0.9), ssr3(ks, H, W) @ m, m)
+        m = jnp.where(_gate(kh, 0.5), mat3(hflip3(float(W)), m), m)
+        m = jnp.where(_gate(kv, 0.05), mat3(vflip3(float(H)), m), m)
+        m = jnp.where(_gate(jax.random.fold_in(ks, 1), 0.9), mat3(ssr3(ks, H, W), m), m)
         # perspective affine-ized at the centre → the whole composite stays
         # affine and rides the gather-free two-pass warp (strength .02-.05:
         # documented distributional deviation, SURVEY §7 hard-part 3)
         persp = affineize_homography(
             perspective3(kp, H, W), (W - 1) / 2.0, (H - 1) / 2.0
         )
-        m = jnp.where(_gate(jax.random.fold_in(kp, 1), 0.2), persp @ m, m)
+        m = jnp.where(_gate(jax.random.fold_in(kp, 1), 0.2), mat3(persp, m), m)
         return m
 
     geo_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-    mats = jax.vmap(geo_matrix)(geo_keys)
-    out = warp_affine_shear(imgs, mats, border="constant", cval=0.0)
+    return jax.vmap(geo_matrix)(geo_keys)
 
+
+def legacy_photometrics(
+    out: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512
+) -> jnp.ndarray:
+    """Everything after the geometric warp of the ``legacy`` preset (OneOf
+    photometrics, noise, blur, elastic, dropout) — shared by the sequential
+    and the fused-crop paths."""
+    B = out.shape[0]
     # OneOf photometrics p=.5
     def phot_params(key):
         kg, kc, kb, kcon, kh1, kh2, kh3 = jax.random.split(key, 7)
@@ -418,6 +429,15 @@ def augment_legacy(imgs: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512):
     dropped = coarse_dropout(out, dk, hole=max(1, img_size // 24))
     out = jnp.where(dr_on[:, None, None, None], dropped, out)
     return jnp.clip(out, 0.0, 255.0)
+
+
+@partial(jax.jit, static_argnames=("img_size",))
+def augment_legacy(imgs: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512):
+    """The ``legacy`` albumentations pipeline as one fused batch op."""
+    B, H, W, C = imgs.shape
+    mats = legacy_geo_mats(keys, H, W)
+    out = warp_affine_shear(imgs, mats, border="constant", cval=0.0)
+    return legacy_photometrics(out, keys, img_size)
 
 
 @jax.jit
@@ -547,12 +567,239 @@ def augment_simple(imgs: jnp.ndarray, keys: jnp.ndarray, aug_idx: jnp.ndarray):
     return jnp.clip(out, 0.0, 255.0)
 
 
+# ---------------------------------------------------------------------------
+# RandAugment-equivalent train-time preset (the MM trainer's regularizer)
+# ---------------------------------------------------------------------------
+#
+# The reference's strongest stream trains under timm
+# create_transform(input_size=380, is_training=True,
+# auto_augment="rand-m9-mstd0.5-inc1", re_prob=0.2)
+# (train_mm_joint_dualtask.py:72-93): RandomResizedCrop + HFlip(.5) +
+# RandAugment(2 ops, magnitude N(9,.5) of 10, increasing severity) +
+# RandomErasing(p=.2, const). This is the on-device equivalent: RRC+flip+
+# geometric ops compose into ONE affine warp; photometric ops apply with
+# no-op parameters when not drawn (static shapes, one jit). Deviations
+# (documented, distributional parity only): Equalize is omitted from the
+# pool (per-image-per-channel histogram for one of 14 slots isn't worth the
+# kernel), ops apply in a fixed order instead of draw order, and RRC clamps
+# its box once instead of torchvision's 10-try loop.
+
+
+def _rrc_hflip3(key, H, W, scale_lo=0.08, scale_hi=1.0):
+    """RandomResizedCrop(+resize back to [H,W]) + HFlip(.5) as one forward
+    affine (torchvision semantics, single clamped attempt)."""
+    ka, kr, ki, kj, kf = jax.random.split(key, 5)
+    area = jax.random.uniform(ka, (), minval=scale_lo, maxval=scale_hi) * H * W
+    logr = jax.random.uniform(
+        kr, (), minval=jnp.log(3.0 / 4.0), maxval=jnp.log(4.0 / 3.0)
+    )
+    r = jnp.exp(logr)
+    w = jnp.clip(jnp.sqrt(area * r), 8.0, float(W))
+    h = jnp.clip(jnp.sqrt(area / r), 8.0, float(H))
+    i = jax.random.uniform(ki, (), minval=0.0, maxval=1.0) * (H - h)
+    j = jax.random.uniform(kj, (), minval=0.0, maxval=1.0) * (W - w)
+    # dst→src is axis-aligned: src = s·dst + t (half-pixel centers)
+    sx, sy = w / W, h / H
+    tx = 0.5 * sx - 0.5 + j
+    ty = 0.5 * sy - 0.5 + i
+    m = jnp.array(
+        [[1.0 / sx, 0.0, -tx / sx], [0.0, 1.0 / sy, -ty / sy], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )  # forward (src→dst)
+    return jnp.where(_gate(kf, 0.5), mat3(hflip3(float(W)), m), m)
+
+
+# op order: 0-4 geometric (compose into the warp), 5-13 photometric
+_RANDAUG_N_OPS = 14
+
+
+def _randaug_params(key, H, W, magnitude, mag_std, n_ops):
+    """Per-image draw: returns (geo matrix [3,3], photometric param dict).
+    inc1 severity maps follow timm's increasing-transform scales."""
+    c = ((W - 1) / 2.0, (H - 1) / 2.0)
+    m_geo = identity3()
+    phot = {
+        "invert": jnp.zeros((), bool), "autoc": jnp.zeros((), bool),
+        "post_step": jnp.ones(()), "solar_thr": jnp.full((), 256.0),
+        "solar_add": jnp.zeros(()), "color_f": jnp.ones(()),
+        "contrast_f": jnp.ones(()), "bright_f": jnp.ones(()),
+        "sharp_f": jnp.ones(()),
+    }
+    for draw in range(n_ops):
+        kd = jax.random.fold_in(key, draw)
+        kop, kmag, ksign = jax.random.split(kd, 3)
+        op = jax.random.randint(kop, (), 0, _RANDAUG_N_OPS)
+        m = jnp.clip(
+            magnitude + jax.random.normal(kmag) * mag_std, 0.0, 10.0
+        ) / 10.0
+        sign = jnp.where(jax.random.bernoulli(ksign), 1.0, -1.0)
+        # geometric: rotate ±30°, shear ±0.3, translate ±0.45·size
+        ang = sign * 30.0 * m
+        shear = sign * 0.3 * m
+        t_amt = sign * 0.45 * m
+        cx, cy = c
+        sh_x = mat3(
+            mat3(
+                translate3(cx, cy),
+                jnp.array([[1.0, shear, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]),
+            ),
+            translate3(-cx, -cy),
+        )
+        sh_y = mat3(
+            mat3(
+                translate3(cx, cy),
+                jnp.array([[1.0, 0.0, 0.0], [shear, 1.0, 0.0], [0.0, 0.0, 1.0]]),
+            ),
+            translate3(-cx, -cy),
+        )
+        geo_mats = jnp.stack(
+            [
+                rotate3(ang, c),
+                sh_x,
+                sh_y,
+                translate3(t_amt * W, 0.0),
+                translate3(0.0, t_amt * H),
+            ]
+        )
+        m_geo = jnp.where(op < 5, mat3(geo_mats[jnp.minimum(op, 4)], m_geo), m_geo)
+        enh = 1.0 + sign * 0.9 * m  # PIL enhance factor, inc1
+        phot = {
+            "invert": phot["invert"] | (op == 5),
+            "autoc": phot["autoc"] | (op == 6),
+            "post_step": jnp.where(
+                op == 7,
+                phot["post_step"] * 2.0 ** jnp.round(4.0 * m),
+                phot["post_step"],
+            ),
+            "solar_thr": jnp.where(
+                op == 8, jnp.minimum(phot["solar_thr"], 255.0 * (1.0 - m)),
+                phot["solar_thr"],
+            ),
+            "solar_add": jnp.where(
+                op == 9, phot["solar_add"] + 110.0 * m, phot["solar_add"]
+            ),
+            "color_f": jnp.where(op == 10, phot["color_f"] * enh, phot["color_f"]),
+            "contrast_f": jnp.where(
+                op == 11, phot["contrast_f"] * enh, phot["contrast_f"]
+            ),
+            "bright_f": jnp.where(
+                op == 12, phot["bright_f"] * enh, phot["bright_f"]
+            ),
+            "sharp_f": jnp.where(op == 13, phot["sharp_f"] * enh, phot["sharp_f"]),
+        }
+    return m_geo, phot
+
+
+def randaug_geo_mats(
+    keys: jnp.ndarray, H: int, W: int,
+    magnitude: float = 9.0, mag_std: float = 0.5, n_ops: int = 2,
+):
+    """[B,3,3] composite forward maps (RRC+flip+geo ops) + photometric
+    params — split out so a fused caller can absorb the matrix elsewhere."""
+    def one(key):
+        k_rrc, k_ops = jax.random.split(key)
+        m_rrc = _rrc_hflip3(k_rrc, H, W)
+        m_ops, phot = _randaug_params(k_ops, H, W, magnitude, mag_std, n_ops)
+        return mat3(m_ops, m_rrc), phot
+
+    return jax.vmap(one)(keys)
+
+
+def randaug_photometrics(out: jnp.ndarray, phot: dict) -> jnp.ndarray:
+    """Apply the drawn photometric ops (no-op parameters when undrawn),
+    fixed order: invert → autocontrast → posterize → solarize(+add) →
+    color → contrast → brightness → sharpness."""
+    B = out.shape[0]
+    bmask = lambda v: v[:, None, None, None]
+    out = jnp.where(bmask(phot["invert"]), 255.0 - out, out)
+
+    lo = jnp.min(out, axis=(1, 2), keepdims=True)
+    hi = jnp.max(out, axis=(1, 2), keepdims=True)
+    stretched = (out - lo) * (255.0 / jnp.maximum(hi - lo, 1.0))
+    out = jnp.where(bmask(phot["autoc"]), stretched, out)
+
+    step = phot["post_step"][:, None, None, None]
+    out = jnp.floor(out / step) * step
+
+    thr = phot["solar_thr"][:, None, None, None]
+    out = jnp.where(out >= thr, 255.0 - out, out)
+    add = phot["solar_add"][:, None, None, None]
+    out = jnp.clip(jnp.where(out < 128.0, out + add, out), 0.0, 255.0)
+
+    gray = (0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2])[
+        ..., None
+    ]
+    cf = phot["color_f"][:, None, None, None]
+    out = jnp.clip(gray + (out - gray) * cf, 0.0, 255.0)
+
+    mean = jnp.mean(gray, axis=(1, 2, 3), keepdims=True)
+    kf = phot["contrast_f"][:, None, None, None]
+    out = jnp.clip(mean + (out - mean) * kf, 0.0, 255.0)
+
+    bf = phot["bright_f"][:, None, None, None]
+    out = jnp.clip(out * bf, 0.0, 255.0)
+
+    blur = gaussian_blur3(out)
+    sf = phot["sharp_f"][:, None, None, None]
+    out = jnp.clip(blur + (out - blur) * sf, 0.0, 255.0)
+    return out
+
+
+def random_erasing(
+    imgs: jnp.ndarray, keys: jnp.ndarray, p: float = 0.2,
+    scale=(0.02, 1.0 / 3.0), ratio=(0.3, 3.3),
+) -> jnp.ndarray:
+    """timm RandomErasing(mode=const): zero a random rectangle with prob p."""
+    B, H, W, C = imgs.shape
+
+    def box(key):
+        kg, ka, kr, ki, kj = jax.random.split(key, 5)
+        on = _gate(kg, p)
+        area = jax.random.uniform(ka, (), minval=scale[0], maxval=scale[1]) * H * W
+        logr = jax.random.uniform(
+            kr, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+        )
+        r = jnp.exp(logr)
+        w = jnp.clip(jnp.sqrt(area * r), 1.0, float(W))
+        h = jnp.clip(jnp.sqrt(area / r), 1.0, float(H))
+        i = jax.random.uniform(ki, (), minval=0.0, maxval=1.0) * (H - h)
+        j = jax.random.uniform(kj, (), minval=0.0, maxval=1.0) * (W - w)
+        return on, i, j, h, w
+
+    on, i, j, h, w = jax.vmap(box)(keys)
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    inside = (
+        (yy >= i[:, None, None]) & (yy < (i + h)[:, None, None])
+        & (xx >= j[:, None, None]) & (xx < (j + w)[:, None, None])
+    )
+    kill = inside & on[:, None, None]
+    return jnp.where(kill[..., None], 0.0, imgs)
+
+
+@partial(jax.jit, static_argnames=("img_size",))
+def augment_randaug(imgs: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512):
+    """RRC+flip+RandAugment(2, m9±0.5, inc1)+RandomErasing(.2) as one
+    fused batch op (see module comment above for the timm contract and the
+    documented deviations)."""
+    B, H, W, C = imgs.shape
+    mats, phot = randaug_geo_mats(keys, H, W)
+    # timm RandAugment fills geometric ops with gray (128); RRC itself never
+    # leaves the frame, so the fill only shows where rotate/shear/translate do
+    out = warp_affine_shear(imgs, mats, border="constant", cval=128.0)
+    out = randaug_photometrics(out, phot)
+    er_keys = jax.vmap(lambda k: jax.random.fold_in(k, 99))(keys)
+    return random_erasing(out, er_keys, p=0.2)
+
+
 def augment_batch(imgs, keys, preset: str, aug_idx=None, img_size: int = 512):
     """Dispatch by preset name (get_augmenter parity, augment_records.py:335-362)."""
     if preset == "none":
         return imgs
     if preset == "legacy":
         return augment_legacy(imgs, keys, img_size=img_size)
+    if preset == "randaug":
+        return augment_randaug(imgs, keys, img_size=img_size)
     if preset == "ten":
         assert aug_idx is not None
         return augment_ten(imgs, keys, jnp.asarray(aug_idx))

@@ -38,6 +38,19 @@ def rotation_matrix(angle_deg, center_xy, scale=1.0) -> jnp.ndarray:
     )
 
 
+def mat3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """3×3 transform composition at FULL f32 precision.
+
+    `a @ b` at default precision runs bf16 on the TPU MXU — transform
+    entries like 511 (hflip) aren't even bf16-representable and scales
+    round at 2^-8, which shifted sampling grids by up to ~0.3 px (round-3:
+    6-intensity-level errors on noise images traced here). HIGHEST forces
+    the f32 path; a 3×3 product is scalar work anyway."""
+    return jnp.einsum(
+        "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _to_3x3(m: jnp.ndarray) -> jnp.ndarray:
     if m.shape[-2:] == (3, 3):
         return m
@@ -48,8 +61,27 @@ def _to_3x3(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def invert_affine(m: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of a 2×3 (or 3×3) transform, returned as 3×3."""
-    return jnp.linalg.inv(_to_3x3(m))
+    """Inverse of a 2×3 (or 3×3) transform, returned as 3×3.
+
+    Closed-form adjugate/determinant — NOT jnp.linalg.inv: the batched LU
+    path compiles a while-loop program (minutes through a remote-compile
+    tunnel) and was observed returning low-precision inverses for mixed
+    batches on TPU (round-3: 6-intensity-level warp errors traced here).
+    The adjugate is exact to f32 rounding for these well-conditioned
+    transform matrices and fuses into the surrounding program."""
+    m3 = _to_3x3(m)
+    a, b, c = m3[..., 0, 0], m3[..., 0, 1], m3[..., 0, 2]
+    d, e, f = m3[..., 1, 0], m3[..., 1, 1], m3[..., 1, 2]
+    g, h, i = m3[..., 2, 0], m3[..., 2, 1], m3[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    row0 = jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1)
+    row1 = jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1)
+    row2 = jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
 
 
 def sample_bilinear(
@@ -324,7 +356,7 @@ def affineize_homography(h3: jnp.ndarray, cx: float, cy: float) -> jnp.ndarray:
     (strength .02-.05 — documented distributional deviation, SURVEY §7
     hard-part 3). Returns a 3×3 affine (last row 0,0,1)."""
     p = jnp.array([cx, cy, 1.0])
-    w = h3 @ p
+    w = jnp.einsum("ij,j->i", h3, p, precision=jax.lax.Precision.HIGHEST)
     u, v, s = w[0], w[1], w[2]
     # Jacobian of ((h00x+h01y+h02)/s', ...) at centre
     j00 = (h3[0, 0] * s - u * h3[2, 0]) / (s * s)
@@ -381,10 +413,12 @@ def translate3(tx, ty) -> jnp.ndarray:
 
 def scale3(sx, sy, center_xy=(0.0, 0.0)) -> jnp.ndarray:
     cx, cy = center_xy
-    return (
-        translate3(cx, cy)
-        @ jnp.array([[sx, 0, 0], [0, sy, 0], [0, 0, 1]], dtype=jnp.float32)
-        @ translate3(-cx, -cy)
+    return mat3(
+        mat3(
+            translate3(cx, cy),
+            jnp.array([[sx, 0, 0], [0, sy, 0], [0, 0, 1]], dtype=jnp.float32),
+        ),
+        translate3(-cx, -cy),
     )
 
 

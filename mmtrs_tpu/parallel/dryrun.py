@@ -92,6 +92,9 @@ def run(n_devices: int, model_name: str = "efficientnet_b0") -> None:
         tab_hidden=8,
         batch_size=B,
         epochs=1,
+        # keep the driver gate at one cheap step: augmentation is host-side
+        # prep, identical across shardings, and separately tested
+        train_aug="none",
     )
     trainer = MMTrainer(cfg, mesh=mesh)
     state = trainer.init_state(total_steps=1)

@@ -59,15 +59,36 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 def data_parallel_jit(step_fn, mesh: Mesh, axis_name: str = "data", donate_state: bool = True):
     """jit a train step ``(state, batch, ...) -> (state, metrics)`` with
     replicated state and data-sharded batch. XLA inserts the psum for the
-    gradient all-reduce from these shardings."""
+    gradient all-reduce from these shardings.
+
+    Batch leaves are sharded per-leaf: only leaves whose axis 0 is a
+    device-count multiple ride the ``data`` axis — small side inputs (class
+    weights [2], scalars) are replicated instead of erroring (a [2] leaf
+    cannot be split 8 ways)."""
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis_name))
-    return jax.jit(
+    n = mesh.size
+
+    def put_leaf(x):
+        x = jax.numpy.asarray(x)
+        batchy = x.ndim >= 1 and x.shape[0] >= n and x.shape[0] % n == 0
+        return jax.device_put(x, shard if batchy else repl)
+
+    jitted = jax.jit(
         step_fn,
-        in_shardings=(repl, shard),
+        in_shardings=(repl, None),  # batch: taken from operand shardings
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )
+
+    def call(state, batch):
+        return jitted(state, jax.tree.map(put_leaf, batch))
+
+    # the parity worker inspects compiled HLO for the gradient all-reduce
+    call.lower = lambda state, batch: jitted.lower(
+        state, jax.tree.map(put_leaf, batch)
+    )
+    return call
 
 
 def data_parallel_eval_jit(eval_fn, mesh: Mesh, n_sharded_args: int = 1, axis_name: str = "data"):

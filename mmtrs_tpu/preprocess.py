@@ -92,6 +92,58 @@ def preprocess_batch(
     return out, {"seg_valid": valid, "deskew_angle": angle, "boxes": boxes}
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "out_size", "do_rotate", "clahe_clip", "tiles", "use_pallas",
+        "segmenter",
+    ),
+)
+def preprocess_augment_batch(
+    imgs: jnp.ndarray,
+    keys: jnp.ndarray,
+    out_size: int = 512,
+    do_rotate: bool = True,
+    clahe_clip: float = 3.0,
+    tiles: tuple[int, int] = (8, 8),
+    crop_margin: float = 15.0,
+    use_pallas: bool = False,
+    segmenter=None,
+):
+    """The production chain (CLAHE → deskew → segment-crop → ``legacy``
+    augment) with the crop resample and the augmentation's geometric warp
+    composed into ONE affine resample (ops/resize.crop_warp_fused) — the
+    sequential path pays two full-image resamples back to back.
+
+    Randomness/key derivation is identical to ``augment_batch(·,·,"legacy")``
+    so outputs are distributionally the same as preprocess_batch followed by
+    augment_legacy (boundary blending differs subpixel — see
+    crop_warp_fused). Requires square inputs at ``out_size`` (the 512²
+    production shape).
+    """
+    from mmtrs_tpu.ops.augment import legacy_geo_mats, legacy_photometrics
+    from mmtrs_tpu.ops.resize import crop_warp_fused
+
+    x = imgs.astype(jnp.float32)
+    lab = rgb_to_lab(x)
+    fn = _clahe_fast if (use_pallas and _clahe_fast is not None) else clahe
+    l2 = fn(lab[..., 0], clip=clahe_clip, tiles=tiles)
+    x = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
+
+    if do_rotate:
+        x, angle = deskew_batch(x)
+    else:
+        angle = jnp.zeros(x.shape[0])
+
+    seg = segmenter if segmenter is not None else SaliencySegmenter()
+    boxes, valid = seg.propose_boxes(x)
+
+    mats = legacy_geo_mats(keys, out_size, out_size)
+    out = crop_warp_fused(x, boxes, mats, out_size, margin=crop_margin)
+    out = legacy_photometrics(out, keys, out_size)
+    return out, {"seg_valid": valid, "deskew_angle": angle, "boxes": boxes}
+
+
 def min_edge_ok(shape_hw: tuple[int, int], cfg: PreprocessConfig = PreprocessConfig()) -> bool:
     """Host-side decode gate (pipeline.py:80): reject min edge < 400px."""
     return min(shape_hw) >= cfg.min_edge_px

@@ -85,10 +85,14 @@ def make_optimizer(
     warmup_steps: int = 0,
     grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
+    # warmup must fit inside the run: optax requires decay_steps (total −
+    # warmup) > 0, and a tiny smoke run (progressive stage of 2 steps with
+    # the recipe's warmup 100) would otherwise crash
+    warmup = min(warmup_steps, max(total_steps - 1, 0))
     sched = optax.warmup_cosine_decay_schedule(
-        init_value=0.0 if warmup_steps else lr,
+        init_value=0.0 if warmup else lr,
         peak_value=lr,
-        warmup_steps=max(warmup_steps, 1) if warmup_steps else 1,
+        warmup_steps=max(warmup, 1) if warmup else 1,
         decay_steps=max(total_steps, 2),
         end_value=lr * 1e-2,
     )

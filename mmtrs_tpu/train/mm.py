@@ -142,6 +142,26 @@ class MMTrainer:
             x = resize_bilinear(x, (self.cfg.img_size, self.cfg.img_size))
         return normalize_imagenet(x)
 
+    def _prep_train(self, imgs, sel: np.ndarray, epoch: int) -> jnp.ndarray:
+        """Train-batch prep: per-step on-device augmentation (cfg.train_aug,
+        reference timm create_transform parity — train_mm_joint_dualtask.py
+        :72-93) before resize+normalize. Eval batches go through ``_prep``
+        and are never augmented. Keys derive from (seed, dataset row, epoch)
+        so runs are deterministic and epochs see different draws."""
+        x = jnp.asarray(imgs, jnp.float32)
+        if self.cfg.train_aug != "none":
+            from mmtrs_tpu.ops.augment import augment_batch
+            from mmtrs_tpu.utils.rng import keys_for_batch
+
+            keys = keys_for_batch(
+                self.cfg.seed, np.asarray(sel), np.full(len(sel), epoch)
+            )
+            x = augment_batch(x, keys, self.cfg.train_aug,
+                              img_size=int(x.shape[1]))
+        if x.shape[1] != self.cfg.img_size:
+            x = resize_bilinear(x, (self.cfg.img_size, self.cfg.img_size))
+        return normalize_imagenet(x)
+
     def logits(self, state, images, tab, tta: bool = True) -> np.ndarray:
         """3-way TTA (none/hflip/vflip) mean logit (trainer _predict :321-345)."""
         bs = self.cfg.batch_size
@@ -177,7 +197,7 @@ class MMTrainer:
             for bidx in epoch_batches(len(train_idx), cfg.batch_size, rng):
                 sel = train_idx[bidx]
                 batch = {
-                    "img": self._prep(images[sel]),
+                    "img": self._prep_train(images[sel], sel, ep),
                     "tab": jnp.asarray(tab[sel], jnp.float32),
                     "y": jnp.asarray(y[sel].astype(np.float32)),
                     "p": jnp.asarray(p_soft[sel].astype(np.float32)),

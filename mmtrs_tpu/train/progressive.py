@@ -22,6 +22,7 @@ def train_progressive(
     train: VisionData,
     val: VisionData,
     aug_preset: str = "none",
+    mesh=None,
     log=print,
 ) -> list:
     """Returns one best-state per seed (each trained through all stages)."""
@@ -43,7 +44,7 @@ def train_progressive(
                 warmup_steps=cfg.warmup_steps if si == 0 else 0,
                 seed=seed,
             )
-            trainer = VisionTrainer(vcfg, aug_preset=aug_preset)
+            trainer = VisionTrainer(vcfg, mesh=mesh, aug_preset=aug_preset)
             steps = max(len(train) // stage.batch_size, 1) * stage.epochs
             if state is None:
                 state = trainer.init_state(steps, head_bias=head_bias)

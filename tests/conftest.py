@@ -11,6 +11,12 @@ mutation happens at import time, before jax initializes its backends.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize (keyed on PALLAS_AXON_POOL_IPS) force-initializes
+# the TPU platform EVEN when JAX_PLATFORMS=cpu — verified round 3:
+# `JAX_PLATFORMS=cpu python -c "print(jax.devices())"` reports tpu on this
+# box. A cpu pin is only honest if the pool var is gone too.
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

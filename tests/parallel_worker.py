@@ -21,7 +21,8 @@ def _losses_and_logits_mm(mesh):
     from mmtrs_tpu.train.mm import MMTrainer
 
     cfg = MMJointConfig(
-        model_name="test_cnn", img_size=32, batch_size=16, tab_hidden=8
+        model_name="test_cnn", img_size=32, batch_size=16, tab_hidden=8,
+        train_aug="none",  # parity target is the mesh, not augmentation
     )
     rng = np.random.default_rng(7)
     imgs = rng.uniform(0, 255, (17, 32, 32, 3)).astype(np.float32)
@@ -98,6 +99,65 @@ def _losses_and_logits_kfold(mesh):
     return losses, probs, trainer
 
 
+def _losses_and_logits_vision(mesh):
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.config import VisionTrainConfig
+    from mmtrs_tpu.train.common import TrainState
+    from mmtrs_tpu.train.vision import VisionData, VisionTrainer
+
+    cfg = VisionTrainConfig(model_name="test_cnn", img_size=32, batch_size=16,
+                            task="hard", bf16=False)
+    rng = np.random.default_rng(10)
+    imgs = rng.uniform(0, 255, (17, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 2, 17).astype(np.float32)
+
+    trainer = VisionTrainer(cfg, mesh=mesh)
+    state = trainer.init_state(total_steps=3)
+    x = trainer._prep_images(imgs[:16], train=False, seed=0)
+    losses = []
+    cw = jnp.asarray([1.0, 1.3], jnp.float32)  # [2] leaf: must replicate
+    for _ in range(3):
+        state, m = trainer._train_step(
+            state,
+            {"inputs": (x,), "y": jnp.asarray(y[:16].astype(np.int32)), "cw": cw},
+        )
+        losses.append(float(m["loss"]))
+    data = VisionData(images=imgs, y=y)
+    probs = trainer.predict_proba(state, data)  # ragged → pad path
+    return losses, probs, trainer
+
+
+def _losses_and_logits_progressive(mesh):
+    """Full train_progressive driver (2 tiny stages, stage-resume included)
+    — single-device vs mesh must produce identical ensemble probabilities
+    because batch selection, init, and augmentation are host-deterministic
+    and the mesh only shards the already-formed batches."""
+    from mmtrs_tpu.config import ProgressiveConfig, ProgressiveStage
+    from mmtrs_tpu.train.progressive import (
+        progressive_ensemble_probs,
+        train_progressive,
+    )
+    from mmtrs_tpu.train.vision import VisionData
+
+    rng = np.random.default_rng(11)
+    imgs = rng.uniform(0, 255, (24, 32, 32, 3)).astype(np.uint8)
+    y = rng.integers(0, 2, 24).astype(np.int64)
+    data = VisionData(images=imgs[:16], y=y[:16])
+    val = VisionData(images=imgs[16:], y=y[16:])
+    cfg = ProgressiveConfig(
+        model_name="test_cnn",
+        stages=(ProgressiveStage(img_size=32, epochs=1, batch_size=8, lr=1e-3),
+                ProgressiveStage(img_size=32, epochs=1, batch_size=8, lr=5e-4)),
+        seeds=(0,),
+    )
+    states = train_progressive(cfg, data, val, mesh=mesh, log=lambda *a: None)
+    probs = progressive_ensemble_probs(states, val)
+    trainer = states[0][0]
+    return [float(p) for p in probs], probs, trainer
+
+
 def main() -> None:
     import jax
 
@@ -119,12 +179,14 @@ def main() -> None:
         ("mm", _losses_and_logits_mm),
         ("mil", _losses_and_logits_mil),
         ("kfold", _losses_and_logits_kfold),
+        ("vision", _losses_and_logits_vision),
+        ("progressive", _losses_and_logits_progressive),
     ]:
         losses1, eval1, _ = fn(None)
         losses8, eval8, trainer8 = fn(mesh)
         out[f"{name}_losses_single"] = losses1
         out[f"{name}_losses_mesh"] = losses8
-        out[f"{name}_eval_max_diff"] = float(np.max(np.abs(eval1 - eval8)))
+        out[f"{name}_eval_max_diff"] = float(np.max(np.abs(np.asarray(eval1) - np.asarray(eval8))))
         out[f"{name}_eval_n"] = int(len(eval8))
         # the mesh train step must actually communicate: its compiled HLO
         # carries an all-reduce emitted from the sharding annotations
@@ -169,6 +231,21 @@ def _example_args(name: str, trainer):
             "bags": jnp.zeros((8, 2, 32, 32, 3), jnp.float32),
             "y": jnp.zeros((8,), jnp.float32),
         }
+    if name in ("vision", "progressive"):
+        B = 16 if name == "vision" else 8
+        variables = trainer.model.init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32), train=False
+        )
+        state = TrainState.create(variables, trainer.tx)
+        batch = {
+            "inputs": (jnp.zeros((B, 32, 32, 3), jnp.float32),),
+            "y": jnp.zeros((B,), jnp.int32),
+        }
+        if name == "vision":
+            batch["cw"] = jnp.asarray([1.0, 1.3], jnp.float32)
+        else:
+            batch["cw"] = jnp.ones((2,), jnp.float32)
+        return state, batch
     variables = trainer.model.init(
         jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32), train=False
     )

@@ -42,7 +42,7 @@ def test_trainers_accept_device_resident_images(tmp_path):
         df["image_name"] = [f"case_{i}.jpg" for i in range(n)]
 
     mm_cfg = MMJointConfig(model_name="test_cnn", img_size=16, batch_size=8,
-                           lr=1e-3, n_folds=2, epochs=1)
+                           lr=1e-3, n_folds=2, epochs=1, train_aug="none")
     a = run_mm_kfold(imgs, df, mm_cfg, outdir=None, epochs=1, log=lambda *x: None)
     b = run_mm_kfold(jnp.asarray(imgs), df, mm_cfg, outdir=None, epochs=1,
                      log=lambda *x: None)

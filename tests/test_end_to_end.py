@@ -39,7 +39,7 @@ def test_full_system_end_to_end(tmp_path):
     from mmtrs_tpu.train.mm import run_mm_kfold
 
     mm_cfg = MMJointConfig(model_name="test_cnn", img_size=32, batch_size=16,
-                           lr=1e-3, n_folds=2, epochs=3)
+                           lr=1e-3, n_folds=2, epochs=3, train_aug="none")
     mm = run_mm_kfold(aug_imgs, table, mm_cfg, outdir=tmp_path / "mm",
                       epochs=3, log=lambda *a: None)
 

@@ -302,3 +302,86 @@ def test_deskew_skips_blank():
     blank = jnp.full((1, 64, 64, 3), 128.0)
     _, ang = deskew_batch(blank)
     assert float(ang[0]) == 0.0
+
+
+def test_fast_color_math_matches_exact_closed_forms():
+    """The LAB hot path replaces pow/cbrt with a Chebyshev poly, a
+    bit-hack+Halley cbrt, and the y^(1/2.4)=sqrt(sqrt(cbrt(y^5))) identity
+    (color.py). Pin each against the exact closed form at sub-level
+    precision so transcendental drift can never silently move pixels."""
+    from mmtrs_tpu.ops.color import _cbrt_fast, _linear_to_srgb, _srgb_to_linear
+
+    x = np.linspace(0.0, 1.0, 4097).astype(np.float32)
+    lin_exact = np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+    got = np.asarray(_srgb_to_linear(jnp.asarray(x)))
+    assert np.abs(got - lin_exact).max() < 2e-5
+
+    y = np.linspace(0.0, 1.2, 4097).astype(np.float64)
+    srgb_exact = np.where(
+        y <= 0.0031308, 12.92 * y, 1.055 * y ** (1 / 2.4) - 0.055
+    )
+    got = np.asarray(_linear_to_srgb(jnp.asarray(y.astype(np.float32))))
+    assert np.abs(got - srgb_exact).max() < 5e-6
+
+    t = np.linspace(1e-4, 1.5, 4097).astype(np.float64)
+    got = np.asarray(_cbrt_fast(jnp.asarray(t.astype(np.float32))))
+    rel = np.abs(got - np.cbrt(t)) / np.cbrt(t)
+    assert rel.max() < 1e-6
+
+
+def test_crop_warp_fused_identity_matches_crop_box_resize():
+    """With identity augment matrices the fused path must reproduce
+    crop_box_resize (same sampling coordinates, same mask)."""
+    from mmtrs_tpu.ops.resize import crop_box_resize, crop_warp_fused
+    from mmtrs_tpu.ops.warp import identity3
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 255, (3, 512, 512, 3)).astype(np.float32))
+    boxes = jnp.asarray(
+        [[100.0, 120.0, 400.0, 300.0], [0.0, 0.0, 512.0, 512.0],
+         [200.0, 50.0, 280.0, 460.0]]
+    )
+    mats = jnp.tile(identity3()[None], (3, 1, 1))
+    want = np.asarray(crop_box_resize(x, boxes, 512, margin=15.0))
+    got = np.asarray(crop_warp_fused(x, boxes, mats, 512, margin=15.0))
+    # identical sampling coordinates; residual is summation-order noise
+    # (H-then-V vs V-then-H resample, ~0.014 measured on CPU f32 at 512²,
+    # similar under the TPU HIGH einsum). A real coordinate bug shows as
+    # whole intensity levels (the round-3 linalg.inv defect measured 6.3).
+    assert np.abs(got - want).max() < 0.06
+
+
+def test_crop_warp_fused_matches_sequential_on_linear_ramp():
+    """Bilinear resampling reproduces linear functions exactly, so on a
+    linear-ramp image the fused single resample and the sequential
+    crop→warp double resample must agree wherever both are >2px inside
+    their masks — a sharp check of the affine composition and of the
+    combined zero-mask geometry."""
+    from mmtrs_tpu.ops.resize import crop_box_resize, crop_warp_fused
+    from mmtrs_tpu.ops.warp import rotate3, scale3, translate3, warp_affine_shear
+
+    H = 256
+    yy, xx = np.mgrid[0:H, 0:H].astype(np.float32)
+    ramp = np.stack([0.3 * xx + 0.1 * yy, 0.2 * xx, 0.4 * yy], axis=-1)
+    x = jnp.asarray(ramp[None])
+    boxes = jnp.asarray([[40.0, 30.0, 220.0, 200.0]])
+    c = ((H - 1) / 2.0, (H - 1) / 2.0)
+    m = rotate3(9.0, c) @ scale3(1.07, 1.07, c) @ translate3(6.0, -4.0)
+    mats = m[None]
+
+    crop = crop_box_resize(x, boxes, H, margin=15.0)
+    seq = np.asarray(warp_affine_shear(crop, mats, border="constant", cval=0.0))[0]
+    fused = np.asarray(crop_warp_fused(x, boxes, mats, H, margin=15.0))[0]
+
+    seq_in = (np.abs(seq).sum(-1) > 0)
+    fus_in = (np.abs(fused).sum(-1) > 0)
+    # mask geometry agrees up to the documented 1px boundary blending
+    disagree = seq_in != fus_in
+    assert disagree.mean() < 0.02
+    # erode the joint interior by 2px and require near-exact values there
+    from scipy.ndimage import binary_erosion
+
+    interior = binary_erosion(seq_in & fus_in, iterations=2)
+    assert interior.sum() > 1000
+    d = np.abs(seq - fused)[interior]
+    assert d.max() < 0.35, d.max()

@@ -5,7 +5,8 @@ The certifying suite may run on a single real TPU (ambient axon platform),
 so the multi-device checks execute in a forced-CPU subprocess with 8
 virtual devices (the same mechanism `__graft_entry__.dryrun_multichip`
 uses). The worker (tests/parallel_worker.py) trains each trainer family —
-MM, MIL, KFold — 3 steps single-device AND on an 8-device mesh with
+MM, MIL, KFold, Vision, and the full progressive driver — single-device
+AND on an 8-device mesh with
 identical data, then evals a ragged batch through the pad path; this test
 asserts trajectory and eval parity plus the presence of an all-reduce in
 the compiled mesh step.
@@ -53,7 +54,7 @@ def test_pad_to_multiple_semantics(worker_result):
     assert worker_result["pad_rows_are_row0"]
 
 
-@pytest.mark.parametrize("name", ["mm", "mil", "kfold"])
+@pytest.mark.parametrize("name", ["mm", "mil", "kfold", "vision", "progressive"])
 def test_mesh_matches_single_device(worker_result, name):
     l1 = np.array(worker_result[f"{name}_losses_single"])
     l8 = np.array(worker_result[f"{name}_losses_mesh"])
@@ -62,11 +63,12 @@ def test_mesh_matches_single_device(worker_result, name):
     # steps; measured ≤3e-4 relative)
     np.testing.assert_allclose(l8, l1, rtol=1e-3, atol=5e-5)
     assert worker_result[f"{name}_eval_max_diff"] < 2e-3
-    # ragged eval exercised the pad path (n not divisible by batch size)
-    assert worker_result[f"{name}_eval_n"] in (9, 17)
+    # ragged eval exercised the pad path (n not divisible by batch size);
+    # the progressive driver evals its 8-row val split (full train loop)
+    assert worker_result[f"{name}_eval_n"] in (8, 9, 17)
 
 
-@pytest.mark.parametrize("name", ["mm", "mil", "kfold"])
+@pytest.mark.parametrize("name", ["mm", "mil", "kfold", "vision", "progressive"])
 def test_mesh_step_contains_all_reduce(worker_result, name):
     assert worker_result[f"{name}_has_all_reduce"], (
         f"{name} mesh train step compiled without an all-reduce — "

@@ -105,7 +105,7 @@ def test_mm_trainer_learns(tmp_path):
     y = df["y_majority"].astype(int).to_numpy()
     imgs = synth_images(n, 32, seed=5, labels=y)
     cfg = MMJointConfig(model_name="test_cnn", img_size=32, batch_size=12,
-                        lr=1e-3, n_folds=2, epochs=5)
+                        lr=1e-3, n_folds=2, epochs=5, train_aug="none")
     out = run_mm_kfold(imgs, df, cfg, outdir=tmp_path, epochs=5, log=lambda *a: None)
     # smoke-level learning bar: tiny model, 2 folds of ~25 rows, 5 epochs —
     # asserts above-chance learning + artifact contract, not model quality
@@ -116,3 +116,38 @@ def test_mm_trainer_learns(tmp_path):
     oof = pd.read_csv(tmp_path / "oof_val.csv")
     assert list(oof.columns) == ["image_name", "y", "prob"]
     assert oof["prob"].notna().all()
+
+
+def test_mm_train_aug_changes_train_batches_not_eval():
+    """cfg.train_aug ("randaug", the reference's timm create_transform
+    parity — train_mm_joint_dualtask.py:72-93) must alter TRAIN batch prep,
+    deterministically per (seed, row, epoch), while eval prep is untouched."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.config import MMJointConfig
+    from mmtrs_tpu.train.mm import MMTrainer
+
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(0, 255, (8, 32, 32, 3)).astype(np.float32)
+    sel = np.arange(8)
+
+    cfg_aug = MMJointConfig(model_name="test_cnn", img_size=32, batch_size=8,
+                            train_aug="randaug")
+    cfg_off = MMJointConfig(model_name="test_cnn", img_size=32, batch_size=8,
+                            train_aug="none")
+    tr_aug = MMTrainer(cfg_aug)
+    tr_off = MMTrainer(cfg_off)
+
+    a0 = np.asarray(tr_aug._prep_train(imgs, sel, epoch=0))
+    a0b = np.asarray(tr_aug._prep_train(imgs, sel, epoch=0))
+    a1 = np.asarray(tr_aug._prep_train(imgs, sel, epoch=1))
+    off = np.asarray(tr_off._prep_train(imgs, sel, epoch=0))
+    ev_aug = np.asarray(tr_aug._prep(imgs))
+    ev_off = np.asarray(tr_off._prep(imgs))
+
+    assert np.array_equal(a0, a0b)            # deterministic per (row, epoch)
+    assert np.abs(a0 - a1).max() > 1e-3       # epochs see different draws
+    assert np.abs(a0 - off).max() > 1e-3      # augmentation actually applied
+    assert np.array_equal(ev_aug, ev_off)     # eval prep ignores train_aug
+    assert np.array_equal(off, ev_off)        # "none" train prep == eval prep
+    assert np.isfinite(a0).all()
