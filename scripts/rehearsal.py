@@ -16,9 +16,14 @@ real resolutions, real fold machinery, on-chip), not an AUC-parity claim:
 the reference's 0.8695 is tied to its private clinical dataset
 (BASELINE.md), which does not ship.
 
+Round-3 defaults follow the REFERENCE recipes (VERDICT item 2): MIL bag
+12 @ 320 (train_mil_attention_v1.py:78-115; now cheap — bag construction
+is two MXU einsums), MM with train-time RandAugment
+(train_mm_joint_dualtask.py:72-93, cfg.train_aug="randaug").
+
 Usage:
-  python scripts/rehearsal.py [--n 422] [--mm_epochs 4] [--mil_epochs 3]
-                              [--folds 5] [--out results/rehearsal_r2]
+  python scripts/rehearsal.py [--n 422] [--mm_epochs 8] [--mil_epochs 6]
+                              [--folds 5] [--out results/rehearsal_r3]
 """
 
 from __future__ import annotations
@@ -118,12 +123,12 @@ def main() -> int:
     ap.add_argument("--raw_size", type=int, default=512)
     ap.add_argument("--n_aug", type=int, default=10)
     ap.add_argument("--folds", type=int, default=5)
-    ap.add_argument("--mm_epochs", type=int, default=4)
-    ap.add_argument("--mil_epochs", type=int, default=3)
+    ap.add_argument("--mm_epochs", type=int, default=8)
+    ap.add_argument("--mil_epochs", type=int, default=6)
     ap.add_argument("--mm_img", type=int, default=224)
-    ap.add_argument("--mil_img", type=int, default=224)
-    ap.add_argument("--bag", type=int, default=6)
-    ap.add_argument("--out", default="results/rehearsal_r2")
+    ap.add_argument("--mil_img", type=int, default=320)
+    ap.add_argument("--bag", type=int, default=12)
+    ap.add_argument("--out", default="results/rehearsal_r3")
     args = ap.parse_args()
 
     import jax
@@ -224,7 +229,7 @@ def main() -> int:
         "config": {
             "folds": args.folds, "n_aug": args.n_aug,
             "mm": {"model": mm_cfg.model_name, "img": mm_cfg.img_size,
-                   "epochs": args.mm_epochs},
+                   "epochs": args.mm_epochs, "train_aug": mm_cfg.train_aug},
             "mil": {"model": mil_cfg.model_name, "img": mil_cfg.img_size,
                     "bag": mil_cfg.bag_size, "epochs": args.mil_epochs},
         },
