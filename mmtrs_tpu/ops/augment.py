@@ -356,14 +356,23 @@ def legacy_geo_mats(keys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return jax.vmap(geo_matrix)(geo_keys)
 
 
-def legacy_photometrics(
-    out: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512
-) -> jnp.ndarray:
-    """Everything after the geometric warp of the ``legacy`` preset (OneOf
-    photometrics, noise, blur, elastic, dropout) — shared by the sequential
-    and the fused-crop paths."""
-    B = out.shape[0]
-    # OneOf photometrics p=.5
+def _dropout_xy(key, H: int, W: int, hole: int):
+    """The CoarseDropout hole origin, with coarse_dropout's exact draws."""
+    ky, kx = jax.random.split(key)
+    y0 = jax.random.randint(ky, (), 0, H - hole)
+    x0 = jax.random.randint(kx, (), 0, W - hole)
+    return y0.astype(jnp.float32), x0.astype(jnp.float32)
+
+
+def photometric_params_legacy(keys: jnp.ndarray, H: int, W: int, hole: int):
+    """Per-image parameters of the ``legacy`` preset's pointwise stretch.
+
+    Returns (params [B,10] f32 — column layout of
+    ops.pallas.photometric_kernel —, noise_keys [B], use_clahe [B] bool).
+    Draw structure is identical to the pre-fusion implementation, so the
+    same (seed, origin_id, aug_idx) keys produce the same gates/magnitudes.
+    """
+
     def phot_params(key):
         kg, kc, kb, kcon, kh1, kh2, kh3 = jax.random.split(key, 7)
         on = _gate(kg, 0.5)
@@ -384,17 +393,7 @@ def legacy_photometrics(
 
     pk = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
     b, c, dh, ds, dv, use_clahe, use_hsv = jax.vmap(phot_params)(pk)
-    out = brightness_contrast(out, b, c)
-    # p-gated heavy ops go through subset_apply: pay for ~Bp images, not B
-    cap16 = _subset_cap(B, 0.5 / 3.0)
-    out = subset_apply(
-        lambda s, h, sa, v: hsv_shift(s, h, sa, v), out, use_hsv, cap16, dh, ds, dv
-    )
-    out = subset_apply(
-        lambda s: clahe_rgb(s, clip=2.0, tiles=(8, 8)), out, use_clahe, cap16
-    )
 
-    # noise p=.2
     nk = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
     noise_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.2))(nk)
     var = jax.vmap(
@@ -402,9 +401,95 @@ def legacy_photometrics(
             jax.random.fold_in(k, 1), (), minval=5.0, maxval=15.0
         )
     )(nk)
+    sigma = jnp.sqrt(var) * noise_on.astype(jnp.float32)
+
+    dk = jax.vmap(lambda k: jax.random.fold_in(k, 5))(keys)
+    dr_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(dk)
+    y0, x0 = jax.vmap(lambda k: _dropout_xy(k, H, W, hole))(dk)
+
+    params = jnp.stack(
+        [b, c, dh, ds, dv, use_hsv.astype(jnp.float32), sigma,
+         dr_on.astype(jnp.float32), y0, x0],
+        axis=1,
+    )
+    return params, nk, use_clahe
+
+
+def _fused_photometrics_ok(H: int, W: int) -> bool:
+    try:
+        from mmtrs_tpu.ops.pallas.photometric_kernel import supports
+
+        return jax.default_backend() == "tpu" and supports(H, W)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def photometrics_pointwise_ref(
+    imgs: jnp.ndarray, params: jnp.ndarray, noise_keys: jnp.ndarray, hole: int
+) -> jnp.ndarray:
+    """XLA oracle of the fused pointwise kernel: bc → hsv → noise → dropout
+    with identical per-op semantics (noise bits are threefry here vs the
+    kernel's hardware PRNG — statistical parity only, like albumentations)."""
+    B, H, W, _ = imgs.shape
+    b, c, dh, ds, dv = (params[:, i] for i in range(5))
+    use_hsv = params[:, 5] > 0
+    sigma = params[:, 6]
+    dr_on = params[:, 7] > 0
+    y0, x0 = params[:, 8], params[:, 9]
+
+    out = brightness_contrast(imgs, b, c)
+    cap16 = _subset_cap(B, 0.5 / 3.0)
+    out = subset_apply(
+        lambda s, h, sa, v: hsv_shift(s, h, sa, v), out, use_hsv, cap16, dh, ds, dv
+    )
     out = subset_apply(
         lambda s, k, v: gauss_noise(s, k, v),
-        out, noise_on, _subset_cap(B, 0.2), nk, var,
+        out, sigma > 0, _subset_cap(B, 0.2), noise_keys, sigma**2,
+    )
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    in_hole = (
+        (yy >= y0[:, None, None]) & (yy < y0[:, None, None] + hole)
+        & (xx >= x0[:, None, None]) & (xx < x0[:, None, None] + hole)
+        & dr_on[:, None, None]
+    )
+    return jnp.where(in_hole[..., None], 0.0, out)
+
+
+def legacy_photometrics(
+    out: jnp.ndarray, keys: jnp.ndarray, img_size: int = 512,
+    use_fused: bool | None = None,
+) -> jnp.ndarray:
+    """Everything after the geometric warp of the ``legacy`` preset — the
+    pointwise stretch (OneOf{bc,hsv}, noise, dropout) as ONE fused Pallas
+    pass on TPU (XLA oracle elsewhere), then the spatial members (OneOf's
+    CLAHE branch, motion blur, elastic) subset-compacted.
+
+    Op-order note vs albumentations' _legacy_compose (augment_records.py:
+    94-130): noise and dropout are applied before CLAHE/blur/elastic here
+    (they are pointwise and ride the fused pass); order differs only for
+    the ≤3% of images where both a pointwise and a spatial member fire —
+    within the preset's distributional-parity contract (SURVEY §7
+    hard-part 3)."""
+    B, H, W = out.shape[0], out.shape[1], out.shape[2]
+    hole = max(1, img_size // 24)
+    params, nk, use_clahe = photometric_params_legacy(keys, H, W, hole)
+
+    if use_fused is None:
+        use_fused = _fused_photometrics_ok(H, W)
+    if use_fused:
+        from mmtrs_tpu.ops.pallas.photometric_kernel import photometrics_fused_pallas
+
+        seeds = jax.vmap(
+            lambda k: jax.random.bits(k, (), jnp.uint32).astype(jnp.int32)
+        )(nk)
+        out = photometrics_fused_pallas(out, params, seeds, hole)
+    else:
+        out = photometrics_pointwise_ref(out, params, nk, hole)
+
+    cap16 = _subset_cap(B, 0.5 / 3.0)
+    out = subset_apply(
+        lambda s: clahe_rgb(s, clip=2.0, tiles=(8, 8)), out, use_clahe, cap16
     )
 
     # motion blur p=.1
@@ -422,12 +507,6 @@ def legacy_photometrics(
         lambda s, k: elastic(s, k, alpha=10.0, sigma=5.0),
         out, el_on, _subset_cap(B, 0.1), ek,
     )
-
-    # coarse dropout p=.1 (cheap mask op — plain SPMD masking is fine)
-    dk = jax.vmap(lambda k: jax.random.fold_in(k, 5))(keys)
-    dr_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(dk)
-    dropped = coarse_dropout(out, dk, hole=max(1, img_size // 24))
-    out = jnp.where(dr_on[:, None, None, None], dropped, out)
     return jnp.clip(out, 0.0, 255.0)
 
 

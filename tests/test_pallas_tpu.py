@@ -98,3 +98,80 @@ def test_preprocess_pipeline_on_tpu():
     assert out.shape == (2, 512, 512, 3)
     assert np.isfinite(out).all()
     assert out.min() >= 0 and out.max() <= 255
+
+
+def test_photometrics_fused_matches_oracle_exact_paths():
+    """bc/hsv/dropout are bit-for-bit shared with the XLA oracle; only the
+    noise PRNG differs (hardware vs threefry) — noise rows checked
+    statistically in the next test."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops.augment import photometrics_pointwise_ref
+    from mmtrs_tpu.ops.pallas.photometric_kernel import photometrics_fused_pallas
+
+    rng = np.random.default_rng(11)
+    B, H, W, hole = 6, 128, 128, 9
+    imgs = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    # rows: identity / bc / hsv / dropout / bc+dropout / hsv+dropout
+    params = np.zeros((B, 10), np.float32)
+    params[1, 0], params[1, 1] = 0.1, -0.12          # bc
+    params[2, 2:6] = (3.0, -8.0, 5.0, 1.0)           # hsv
+    params[3, 7:10] = (1.0, 40.0, 17.0)              # dropout
+    params[4, 0], params[4, 1] = -0.05, 0.15
+    params[4, 7:10] = (1.0, 3.0, 100.0)
+    params[5, 2:6] = (-4.5, 11.0, -7.0, 1.0)
+    params[5, 7:10] = (1.0, 80.0, 80.0)
+    params = jnp.asarray(params)
+    keys = jax.vmap(jax.random.key)(jnp.arange(B, dtype=jnp.uint32))
+    seeds = jnp.arange(B, dtype=jnp.int32)
+
+    want = np.asarray(photometrics_pointwise_ref(imgs, params, keys, hole))
+    got = np.asarray(photometrics_fused_pallas(imgs, params, seeds, hole))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=0)
+
+
+def test_photometrics_fused_noise_statistics():
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops.pallas.photometric_kernel import photometrics_fused_pallas
+
+    B, H, W, hole = 2, 256, 256, 9
+    imgs = jnp.full((B, H, W, 3), 128.0, jnp.float32)
+    params = np.zeros((B, 10), np.float32)
+    params[:, 6] = 3.0  # sigma
+    out = np.asarray(
+        photometrics_fused_pallas(imgs, jnp.asarray(params),
+                                  jnp.asarray([7, 8], np.int32), hole)
+    )
+    d = out - 128.0
+    assert abs(d.mean()) < 0.05
+    assert abs(d.std() - 3.0) < 0.1
+    # per-image streams differ and are deterministic
+    assert not np.allclose(out[0], out[1])
+    out2 = np.asarray(
+        photometrics_fused_pallas(imgs, jnp.asarray(params),
+                                  jnp.asarray([7, 8], np.int32), hole)
+    )
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_legacy_photometrics_fused_vs_ref_wiring():
+    """Full legacy_photometrics wiring: fused-TPU vs oracle path agree
+    exactly on images whose noise gate did not fire."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops import augment as A
+
+    rng = np.random.default_rng(5)
+    B, S = 16, 128
+    imgs = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)).astype(np.float32))
+    from mmtrs_tpu.utils.rng import keys_for_batch
+
+    keys = keys_for_batch(123, np.arange(B), np.ones(B))
+    params, _, _ = A.photometric_params_legacy(keys, S, S, max(1, S // 24))
+    sigma = np.asarray(params[:, 6])
+    a = np.asarray(A.legacy_photometrics(imgs, keys, img_size=S, use_fused=True))
+    b = np.asarray(A.legacy_photometrics(imgs, keys, img_size=S, use_fused=False))
+    quiet = sigma == 0.0
+    assert quiet.any()
+    np.testing.assert_allclose(a[quiet], b[quiet], atol=2e-3, rtol=0)
