@@ -56,6 +56,7 @@ class SaliencySegmenter:
     @partial(jax.jit, static_argnums=(0,))
     def propose_boxes(self, imgs: jnp.ndarray):
         B, H, W, _ = imgs.shape
+        imgs = imgs.astype(jnp.float32)  # uint8-staged chains: convert fuses
         lab = rgb_to_lab(imgs)
         l = lab[..., 0]  # brightness
         hsv = rgb_to_hsv(imgs)

@@ -424,12 +424,26 @@ def _fused_photometrics_ok(H: int, W: int) -> bool:
         return False
 
 
+def _qf(v):
+    """Round-half-up to whole intensity levels, staying f32. The uint8
+    staging quantiser — must match ``_quant_u8`` in the Pallas photometric
+    kernel bit for bit (the reference's albumentations chain returns uint8
+    after every transform; quantising at the same boundaries keeps the
+    fused-TPU and XLA paths exactly comparable)."""
+    return jnp.floor(jnp.clip(v, 0.0, 255.0) + 0.5)
+
+
+def _q8(v):
+    return _qf(v).astype(jnp.uint8)
+
+
 def photometrics_pointwise_ref(
     imgs: jnp.ndarray, params: jnp.ndarray, noise_keys: jnp.ndarray, hole: int
 ) -> jnp.ndarray:
     """XLA oracle of the fused pointwise kernel: bc → hsv → noise → dropout
-    with identical per-op semantics (noise bits are threefry here vs the
-    kernel's hardware PRNG — statistical parity only, like albumentations)."""
+    with identical per-op semantics and identical uint8 staging after each
+    op (noise bits are threefry here vs the kernel's hardware PRNG —
+    statistical parity only, like albumentations). Returns uint8."""
     B, H, W, _ = imgs.shape
     b, c, dh, ds, dv = (params[:, i] for i in range(5))
     use_hsv = params[:, 5] > 0
@@ -437,13 +451,14 @@ def photometrics_pointwise_ref(
     dr_on = params[:, 7] > 0
     y0, x0 = params[:, 8], params[:, 9]
 
-    out = brightness_contrast(imgs, b, c)
+    out = _qf(brightness_contrast(imgs.astype(jnp.float32), b, c))
     cap16 = _subset_cap(B, 0.5 / 3.0)
     out = subset_apply(
-        lambda s, h, sa, v: hsv_shift(s, h, sa, v), out, use_hsv, cap16, dh, ds, dv
+        lambda s, h, sa, v: _qf(hsv_shift(s, h, sa, v)), out, use_hsv, cap16,
+        dh, ds, dv,
     )
     out = subset_apply(
-        lambda s, k, v: gauss_noise(s, k, v),
+        lambda s, k, v: _qf(gauss_noise(s, k, v)),
         out, sigma > 0, _subset_cap(B, 0.2), noise_keys, sigma**2,
     )
     yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
@@ -453,7 +468,7 @@ def photometrics_pointwise_ref(
         & (xx >= x0[:, None, None]) & (xx < x0[:, None, None] + hole)
         & dr_on[:, None, None]
     )
-    return jnp.where(in_hole[..., None], 0.0, out)
+    return jnp.where(in_hole[..., None], 0.0, out).astype(jnp.uint8)
 
 
 def legacy_photometrics(
@@ -470,7 +485,11 @@ def legacy_photometrics(
     (they are pointwise and ride the fused pass); order differs only for
     the ≤3% of images where both a pointwise and a spatial member fire —
     within the preset's distributional-parity contract (SURVEY §7
-    hard-part 3)."""
+    hard-part 3).
+
+    Returns **uint8** — every stage boundary is uint8-staged exactly like
+    the reference's albumentations chain (each transform returns uint8),
+    which also quarters the HBM traffic of the p-gated subset scatters."""
     B, H, W = out.shape[0], out.shape[1], out.shape[2]
     hole = max(1, img_size // 24)
     params, nk, use_clahe = photometric_params_legacy(keys, H, W, hole)
@@ -483,20 +502,21 @@ def legacy_photometrics(
         seeds = jax.vmap(
             lambda k: jax.random.bits(k, (), jnp.uint32).astype(jnp.int32)
         )(nk)
-        out = photometrics_fused_pallas(out, params, seeds, hole)
+        out = photometrics_fused_pallas(out.astype(jnp.float32), params, seeds, hole)
     else:
         out = photometrics_pointwise_ref(out, params, nk, hole)
 
     cap16 = _subset_cap(B, 0.5 / 3.0)
     out = subset_apply(
-        lambda s: clahe_rgb(s, clip=2.0, tiles=(8, 8)), out, use_clahe, cap16
+        lambda s: _q8(clahe_rgb(s.astype(jnp.float32), clip=2.0, tiles=(8, 8))),
+        out, use_clahe, cap16,
     )
 
     # motion blur p=.1
     bk = jax.vmap(lambda k: jax.random.fold_in(k, 3))(keys)
     blur_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(bk)
     out = subset_apply(
-        lambda s, k: motion_blur(s, k, ksize=5),
+        lambda s, k: _q8(motion_blur(s.astype(jnp.float32), k, ksize=5)),
         out, blur_on, _subset_cap(B, 0.1), bk,
     )
 
@@ -504,10 +524,10 @@ def legacy_photometrics(
     ek = jax.vmap(lambda k: jax.random.fold_in(k, 4))(keys)
     el_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(ek)
     out = subset_apply(
-        lambda s, k: elastic(s, k, alpha=10.0, sigma=5.0),
+        lambda s, k: _q8(elastic(s.astype(jnp.float32), k, alpha=10.0, sigma=5.0)),
         out, el_on, _subset_cap(B, 0.1), ek,
     )
-    return jnp.clip(out, 0.0, 255.0)
+    return out
 
 
 @partial(jax.jit, static_argnames=("img_size",))

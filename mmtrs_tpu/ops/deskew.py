@@ -120,8 +120,13 @@ def deskew_batch(
 
     def do_warp(x, a):
         # gather-free 3-shear rotation (see warp.rotate_shear3); the
-        # reference rotates about (W/2, H/2) (normalise.py:48-56)
-        return rotate_shear3(x, a, center_xy=(W / 2.0, H / 2.0))
+        # reference rotates about (W/2, H/2) (normalise.py:48-56).
+        # dtype-preserving: uint8-staged chains stay uint8 (cv2.warpAffine
+        # likewise returns the input dtype)
+        rot = rotate_shear3(x.astype(jnp.float32), a, center_xy=(W / 2.0, H / 2.0))
+        if imgs.dtype == jnp.uint8:
+            return (jnp.clip(rot, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
+        return rot.astype(imgs.dtype)
 
     out = subset_apply(do_warp, imgs, apply, max(2, B // 4), eff)
     return out, eff

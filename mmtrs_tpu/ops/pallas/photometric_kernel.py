@@ -114,29 +114,39 @@ def _normal_bits(shape):
     return r * jnp.cos((2.0 * jnp.pi) * u2)
 
 
+def _quant_u8(v):
+    """round-half-up → uint8 (uint8 staging after every op, like the
+    reference's albumentations chain; must match ``_qf`` in ops/augment)."""
+    return (jnp.clip(v, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
+
+
 def _photometric_kernel(par_ref, seed_ref, x_ref, out_ref, *, rows, W3, hole):
     b = pl.program_id(0)
     i = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, W3), 1)
     ch = lane % 3
 
+    def load():
+        # uint8→f32 must route through int32 in Mosaic
+        return out_ref[0].astype(jnp.int32).astype(jnp.float32)
+
     br = par_ref[b, P_BRIGHT]
     ct = par_ref[b, P_CONTRAST]
-    # RandomBrightnessContrast (exact identity when br=ct=0: inputs already
-    # clipped to [0,255] by the warp stage)
-    out_ref[0] = jnp.clip(x_ref[0] * (1.0 + ct) + br * 255.0, 0.0, 255.0)
+    # RandomBrightnessContrast; the store quantises to uint8 — every stage
+    # boundary is uint8, exactly like the reference's albumentations chain
+    out_ref[0] = _quant_u8(x_ref[0] * (1.0 + ct) + br * 255.0)
 
     @pl.when(par_ref[b, P_USE_HSV] > 0.0)
     def _():
-        out_ref[0] = _hsv_shift_interleaved(
-            out_ref[0], par_ref[b, P_DH], par_ref[b, P_DS], par_ref[b, P_DV], ch
-        )
+        out_ref[0] = _quant_u8(_hsv_shift_interleaved(
+            load(), par_ref[b, P_DH], par_ref[b, P_DS], par_ref[b, P_DV], ch
+        ))
 
     @pl.when(par_ref[b, P_SIGMA] > 0.0)
     def _():
         pltpu.prng_seed(seed_ref[b] + i)
         n = _normal_bits((rows, W3))
-        out_ref[0] = jnp.clip(out_ref[0] + n * par_ref[b, P_SIGMA], 0.0, 255.0)
+        out_ref[0] = _quant_u8(load() + n * par_ref[b, P_SIGMA])
 
     @pl.when(par_ref[b, P_DROP] > 0.0)
     def _():
@@ -149,7 +159,7 @@ def _photometric_kernel(par_ref, seed_ref, x_ref, out_ref, *, rows, W3, hole):
         in_hole = (
             (row >= y0) & (row < y0 + hole) & (col >= x0) & (col < x0 + hole)
         )
-        out_ref[0] = jnp.where(in_hole, 0.0, out_ref[0])
+        out_ref[0] = jnp.where(in_hole, jnp.uint8(0), out_ref[0])
 
 
 def supports(H: int, W: int) -> bool:
@@ -163,7 +173,8 @@ def photometrics_fused_pallas(
     imgs: jnp.ndarray, params: jnp.ndarray, seeds: jnp.ndarray, hole: int
 ) -> jnp.ndarray:
     """imgs [B,H,W,3] f32 0..255, params [B,10] f32, seeds [B] int32 →
-    bc→hsv→noise→dropout in one HBM pass."""
+    bc→hsv→noise→dropout in one HBM pass, uint8 out (¼ the write traffic,
+    and the contract the reference's uint8 chain has anyway)."""
     B, H, W, C = imgs.shape
     assert C == 3 and supports(H, W)
     W3 = W * 3
@@ -174,7 +185,7 @@ def photometrics_fused_pallas(
 
     out = pl.pallas_call(
         partial(_photometric_kernel, rows=rows, W3=W3, hole=float(hole)),
-        out_shape=jax.ShapeDtypeStruct((B, H, W3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, W3), jnp.uint8),
         grid=(B, H // rows),
         in_specs=[
             pl.BlockSpec((B, N_PARAMS), lambda b, i: (0, 0), memory_space=pltpu.SMEM),

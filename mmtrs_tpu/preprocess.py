@@ -66,6 +66,9 @@ def preprocess_batch(
     fn = _clahe_fast if (use_pallas and _clahe_fast is not None) else clahe
     l2 = fn(lab[..., 0], clip=clahe_clip, tiles=tiles)
     x = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
+    # uint8 staging (cv2.cvtColor LAB2BGR on uint8 returns uint8): quarters
+    # the HBM traffic of the deskew/segment/crop passes downstream
+    x = (jnp.clip(x, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
 
     # 2. optional deskew (normalise.py:19-57)
     if do_rotate:
@@ -129,6 +132,9 @@ def preprocess_augment_batch(
     fn = _clahe_fast if (use_pallas and _clahe_fast is not None) else clahe
     l2 = fn(lab[..., 0], clip=clahe_clip, tiles=tiles)
     x = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
+    # uint8 staging (cv2.cvtColor LAB2BGR on uint8 returns uint8): quarters
+    # the HBM traffic of every downstream full-image pass
+    x = (jnp.clip(x, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
 
     if do_rotate:
         x, angle = deskew_batch(x)
@@ -139,7 +145,8 @@ def preprocess_augment_batch(
     boxes, valid = seg.propose_boxes(x)
 
     mats = legacy_geo_mats(keys, out_size, out_size)
-    out = crop_warp_fused(x, boxes, mats, out_size, margin=crop_margin)
+    out = crop_warp_fused(x.astype(jnp.float32), boxes, mats, out_size,
+                          margin=crop_margin)
     out = legacy_photometrics(out, keys, out_size)
     return out, {"seg_valid": valid, "deskew_angle": angle, "boxes": boxes}
 

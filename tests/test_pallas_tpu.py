@@ -127,7 +127,14 @@ def test_photometrics_fused_matches_oracle_exact_paths():
 
     want = np.asarray(photometrics_pointwise_ref(imgs, params, keys, hole))
     got = np.asarray(photometrics_fused_pallas(imgs, params, seeds, hole))
-    np.testing.assert_allclose(got, want, atol=2e-3, rtol=0)
+    assert want.dtype == np.uint8 and got.dtype == np.uint8
+    # uint8 staging after every op collapses the f32 ULP slack at the
+    # quantiser: pixels match exactly except where an HSV value lands
+    # within ULPs of a .5 rounding boundary (measured ~1e-5 of pixels),
+    # which may round one level apart between kernel and oracle
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() >= 0.9999
 
 
 def test_photometrics_fused_noise_statistics():
@@ -142,10 +149,11 @@ def test_photometrics_fused_noise_statistics():
     out = np.asarray(
         photometrics_fused_pallas(imgs, jnp.asarray(params),
                                   jnp.asarray([7, 8], np.int32), hole)
-    )
+    ).astype(np.float64)
     d = out - 128.0
     assert abs(d.mean()) < 0.05
-    assert abs(d.std() - 3.0) < 0.1
+    # uint8 quantisation adds ~1/12 variance: std ≈ √(9 + 1/12) ≈ 3.014
+    assert abs(d.std() - 3.014) < 0.1
     # per-image streams differ and are deterministic
     assert not np.allclose(out[0], out[1])
     out2 = np.asarray(
@@ -172,6 +180,7 @@ def test_legacy_photometrics_fused_vs_ref_wiring():
     sigma = np.asarray(params[:, 6])
     a = np.asarray(A.legacy_photometrics(imgs, keys, img_size=S, use_fused=True))
     b = np.asarray(A.legacy_photometrics(imgs, keys, img_size=S, use_fused=False))
+    assert a.dtype == np.uint8 and b.dtype == np.uint8
     quiet = sigma == 0.0
     assert quiet.any()
-    np.testing.assert_allclose(a[quiet], b[quiet], atol=2e-3, rtol=0)
+    np.testing.assert_array_equal(a[quiet], b[quiet])
