@@ -62,7 +62,7 @@ def main() -> int:
     # per-program dispatch through the axon tunnel is a measured ~2.6 ms
     # floor — batch 32 donates 11% to dispatch, 128 only 3% (256 OOMs: the
     # warp interp matrices are [B,512,512] f32 each)
-    batch = 128 if platform == "tpu" else 8
+    batch = int(os.environ.get("MMTRS_BENCH_BATCH", "128")) if platform == "tpu" else 8
     x = jnp.asarray(synth_batch(batch))
     keys = keys_for_batch(42, np.arange(batch), np.ones(batch))
 

@@ -47,39 +47,17 @@ def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Fast transcendental replacements (the LAB round-trip is on the bench hot
-# path; XLA lowers x**p to exp/log multi-pass VPU approximations).
+# Transcendentals. Round 2 replaced pow/cbrt with a Chebyshev x^2.4 poly and
+# a bit-hack+Halley cube root; after the round-3 uint8 staging the chain is
+# memory-lean enough that the VPU pow lowering WINS (measured b128: exact
+# 9.5 ms vs poly 12.8 ms LAB round-trip — the deep Horner/Halley dependency
+# chains serialize on the VPU while exp/log pipelines). Keep the exact
+# forms; they are also bit-closer to cv2.
 # ---------------------------------------------------------------------------
 
 
 def _cbrt_fast(x):
-    """Nonnegative f32 cube root: exponent-third bit hack + 2 Halley steps.
-    Max rel error ≈ f32 ulp over [1e-4, 4] (validated vs np.cbrt); cheaper
-    than the exp(log(x)/3) lowering of jnp.cbrt on the VPU."""
-    xf = jnp.maximum(x, 1e-30).astype(jnp.float32)
-    i = jax.lax.bitcast_convert_type(xf, jnp.int32)
-    g = jax.lax.bitcast_convert_type(i // 3 + 709921077, jnp.float32)
-    for _ in range(2):  # Halley: cubic convergence, ~5% seed error → exact
-        g3 = g * g * g
-        g = g * (g3 + 2.0 * xf) / (2.0 * g3 + xf)
-    return g
-
-
-# degree-8 Chebyshev fit of x^2.4 on [0.04045, 1] (max |err| 7.4e-6 ≈ 0.03
-# intensity levels through the LAB L sensitivity ~4600 levels/unit at the
-# dark end — inside every cv2-golden envelope). Horner below.
-_POW24 = (
-    0.00013128049214847226, -0.007709319998956007, 0.3384221354494652,
-    1.3944546403109146, -1.789804261514571, 2.1848091791312503,
-    -1.8018710093705017, 0.8588663196973092, -0.1773017905494083,
-)
-
-
-def _pow24_poly(x):
-    acc = jnp.full_like(x, _POW24[-1])
-    for c in _POW24[-2::-1]:
-        acc = acc * x + c
-    return acc
+    return jnp.cbrt(jnp.maximum(x, 0.0))
 
 
 def _f_lab(t):
@@ -87,22 +65,13 @@ def _f_lab(t):
 
 
 def _srgb_to_linear(x):
-    # exact form is ((x+0.055)/1.055)^2.4 — the poly approximates u^2.4 and
-    # is evaluated at u=(x+0.055)/1.055 ∈ [0.0905, 1] ⊂ fit domain. The clip
-    # only touches out-of-range float dust (cv2 parity is on uint8 inputs).
     xc = jnp.clip(x, 0.0, 1.0)
-    u = (xc + 0.055) / 1.055
-    return jnp.where(xc <= 0.04045, xc / 12.92, _pow24_poly(u))
+    return jnp.where(xc <= 0.04045, xc / 12.92, ((xc + 0.055) / 1.055) ** 2.4)
 
 
 def _linear_to_srgb(y):
-    # y^(1/2.4) = y^(5/12) = sqrt(sqrt(cbrt(y^5))) — exact identity; all
-    # pieces are native sqrt / fast cbrt instead of exp/log pow
     y = jnp.maximum(y, 0.0)
-    y2 = y * y
-    y5 = y2 * y2 * y
-    root = jnp.sqrt(jnp.sqrt(_cbrt_fast(y5)))
-    return jnp.where(y <= 0.0031308, 12.92 * y, 1.055 * root - 0.055)
+    return jnp.where(y <= 0.0031308, 12.92 * y, 1.055 * y ** (1.0 / 2.4) - 0.055)
 
 
 def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
