@@ -43,7 +43,10 @@ def _conv_w(x):
 
 
 def _deconv_w(x):
-    return _np(x).transpose(2, 3, 0, 1)  # (in,out,kh,kw) → (kh,kw,in,out)
+    # (in,out,kh,kw) → (kh,kw,out,in): flax ConvTranspose(transpose_kernel=
+    # True) expects (spatial..., features, in_features) and flips/swaps
+    # internally to reproduce torch's gradient-of-conv exactly
+    return _np(x).transpose(2, 3, 1, 0)
 
 
 def _fc_w(x):

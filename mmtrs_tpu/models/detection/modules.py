@@ -25,6 +25,7 @@ import jax.numpy as jnp
 class FrozenBN(nn.Module):
     features: int
     eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -32,11 +33,14 @@ class FrozenBN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
+        # folded affine computed in f32 (tiny), applied in compute dtype
         inv = scale * jax.lax.rsqrt(var + self.eps)
-        return x * inv + (bias - mean * inv)
+        off = bias - mean * inv
+        return x * inv.astype(self.dtype) + off.astype(self.dtype)
 
 
-def _conv(features, kernel, stride=1, padding=None, use_bias=False, name=None):
+def _conv(features, kernel, stride=1, padding=None, use_bias=False, name=None,
+          dtype=jnp.float32):
     if padding is None:
         padding = kernel // 2
     return nn.Conv(
@@ -46,6 +50,7 @@ def _conv(features, kernel, stride=1, padding=None, use_bias=False, name=None):
         padding=[(padding, padding), (padding, padding)],
         use_bias=use_bias,
         name=name,
+        dtype=dtype,
     )
 
 
@@ -53,21 +58,24 @@ class Bottleneck(nn.Module):
     width: int  # conv1/conv2 width; output is 4*width
     stride: int = 1
     downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         identity = x
-        out = _conv(self.width, 1, name="conv1")(x)
-        out = FrozenBN(self.width, name="bn1")(out)
+        out = _conv(self.width, 1, name="conv1", dtype=dt)(x)
+        out = FrozenBN(self.width, name="bn1", dtype=dt)(out)
         out = nn.relu(out)
-        out = _conv(self.width, 3, stride=self.stride, name="conv2")(out)
-        out = FrozenBN(self.width, name="bn2")(out)
+        out = _conv(self.width, 3, stride=self.stride, name="conv2", dtype=dt)(out)
+        out = FrozenBN(self.width, name="bn2", dtype=dt)(out)
         out = nn.relu(out)
-        out = _conv(self.width * 4, 1, name="conv3")(out)
-        out = FrozenBN(self.width * 4, name="bn3")(out)
+        out = _conv(self.width * 4, 1, name="conv3", dtype=dt)(out)
+        out = FrozenBN(self.width * 4, name="bn3", dtype=dt)(out)
         if self.downsample:
-            identity = _conv(self.width * 4, 1, stride=self.stride, name="downsample_conv")(x)
-            identity = FrozenBN(self.width * 4, name="downsample_bn")(identity)
+            identity = _conv(self.width * 4, 1, stride=self.stride,
+                             name="downsample_conv", dtype=dt)(x)
+            identity = FrozenBN(self.width * 4, name="downsample_bn", dtype=dt)(identity)
         return nn.relu(out + identity)
 
 
@@ -76,15 +84,17 @@ class ResNetBody(nn.Module):
 
     base_width: int = 64
     layers: Sequence[int] = (3, 4, 6, 3)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         w = self.base_width
+        x = x.astype(self.dtype)
         x = nn.Conv(
             w, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-            name="conv1",
+            name="conv1", dtype=self.dtype,
         )(x)
-        x = FrozenBN(w, name="bn1")(x)
+        x = FrozenBN(w, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         feats = []
@@ -97,6 +107,7 @@ class ResNetBody(nn.Module):
                     stride=stride if bi == 0 else 1,
                     downsample=bi == 0,
                     name=f"layer{li + 1}_{bi}",
+                    dtype=self.dtype,
                 )(x)
             feats.append(x)
         return feats  # [C2, C3, C4, C5]
@@ -107,11 +118,13 @@ class FPN(nn.Module):
     (torchvision FeaturePyramidNetwork + LastLevelMaxPool)."""
 
     out_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
         laterals = [
-            _conv(self.out_channels, 1, use_bias=True, name=f"inner{i}")(f)
+            _conv(self.out_channels, 1, use_bias=True, name=f"inner{i}",
+                  dtype=self.dtype)(f)
             for i, f in enumerate(feats)
         ]
         # top-down: upsample by 2 (nearest) and add
@@ -121,7 +134,8 @@ class FPN(nn.Module):
             up = up[:, : laterals[i].shape[1], : laterals[i].shape[2], :]
             laterals[i] = laterals[i] + up
         outs = [
-            _conv(self.out_channels, 3, use_bias=True, name=f"layer{i}")(l)
+            _conv(self.out_channels, 3, use_bias=True, name=f"layer{i}",
+                  dtype=self.dtype)(l)
             for i, l in enumerate(laterals)
         ]
         p6 = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
@@ -131,12 +145,16 @@ class FPN(nn.Module):
 class RPNHead(nn.Module):
     num_anchors: int = 3
     channels: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
-        conv = _conv(self.channels, 3, use_bias=True, name="conv")
-        cls = _conv(self.num_anchors, 1, use_bias=True, name="cls_logits")
-        bbox = _conv(self.num_anchors * 4, 1, use_bias=True, name="bbox_pred")
+        conv = _conv(self.channels, 3, use_bias=True, name="conv",
+                     dtype=self.dtype)
+        cls = _conv(self.num_anchors, 1, use_bias=True, name="cls_logits",
+                    dtype=self.dtype)
+        bbox = _conv(self.num_anchors * 4, 1, use_bias=True, name="bbox_pred",
+                     dtype=self.dtype)
         logits, deltas = [], []
         for f in feats:
             t = nn.relu(conv(f))
@@ -150,6 +168,7 @@ class BoxHead(nn.Module):
 
     num_classes: int = 91
     representation: int = 1024
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats):  # [R, 7, 7, C]
@@ -157,11 +176,15 @@ class BoxHead(nn.Module):
         # torchvision flattens NCHW — transpose so converted fc6 weights
         # contract the same (C, H, W) order
         x = roi_feats.transpose(0, 3, 1, 2).reshape(R, -1)
-        x = nn.relu(nn.Dense(self.representation, name="fc6")(x))
-        x = nn.relu(nn.Dense(self.representation, name="fc7")(x))
-        scores = nn.Dense(self.num_classes, name="cls_score")(x)
-        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
-        return scores, deltas
+        x = nn.relu(nn.Dense(self.representation, name="fc6",
+                             dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(self.representation, name="fc7",
+                             dtype=self.dtype)(x))
+        scores = nn.Dense(self.num_classes, name="cls_score",
+                          dtype=self.dtype)(x)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred",
+                          dtype=self.dtype)(x)
+        return scores.astype(jnp.float32), deltas.astype(jnp.float32)
 
 
 class MaskHead(nn.Module):
@@ -170,19 +193,26 @@ class MaskHead(nn.Module):
 
     num_classes: int = 91
     channels: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats):  # [R, 14, 14, C]
         x = roi_feats
         for i in range(1, 5):
-            x = nn.relu(_conv(self.channels, 3, use_bias=True, name=f"mask_fcn{i}")(x))
+            x = nn.relu(_conv(self.channels, 3, use_bias=True,
+                              name=f"mask_fcn{i}", dtype=self.dtype)(x))
         x = nn.relu(
             nn.ConvTranspose(
                 self.channels, (2, 2), strides=(2, 2), padding="VALID",
-                name="conv5_mask",
+                transpose_kernel=True,  # torch ConvTranspose2d semantics
+                name="conv5_mask",      # (gradient-of-conv: flipped kernel)
+                dtype=self.dtype,
             )(x)
         )
-        return _conv(self.num_classes, 1, use_bias=True, name="mask_fcn_logits")(x)
+        return _conv(self.num_classes, 1, use_bias=True,
+                     name="mask_fcn_logits", dtype=self.dtype)(x).astype(
+            jnp.float32
+        )
 
 
 @dataclass(frozen=True)
@@ -210,6 +240,10 @@ class DetectorConfig:
     box_nms_thresh: float = 0.5
     max_detections: int = 16
     mask_out: int = 28
+    # "bfloat16" runs body/FPN/RPN/heads matmuls on the MXU at half the HBM
+    # traffic; box decode/NMS/mask-paste stay f32. f32 default keeps the
+    # converted-weight golden tests bit-stable.
+    compute_dtype: str = "float32"
 
     @property
     def strides(self) -> tuple[int, ...]:
@@ -230,11 +264,13 @@ class MaskRCNN(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.body = ResNetBody(c.base_width, c.layers, name="body")
-        self.fpn = FPN(c.fpn_channels, name="fpn")
-        self.rpn_head = RPNHead(len(c.aspect_ratios), c.fpn_channels, name="rpn_head")
-        self.box_head = BoxHead(c.num_classes, name="box_head")
-        self.mask_head = MaskHead(c.num_classes, name="mask_head")
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        self.body = ResNetBody(c.base_width, c.layers, name="body", dtype=dt)
+        self.fpn = FPN(c.fpn_channels, name="fpn", dtype=dt)
+        self.rpn_head = RPNHead(len(c.aspect_ratios), c.fpn_channels,
+                                name="rpn_head", dtype=dt)
+        self.box_head = BoxHead(c.num_classes, name="box_head", dtype=dt)
+        self.mask_head = MaskHead(c.num_classes, name="mask_head", dtype=dt)
 
     def features(self, imgs01: jnp.ndarray):
         x = (imgs01 - _MEAN) / _STD

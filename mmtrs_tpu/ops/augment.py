@@ -674,9 +674,10 @@ def augment_simple(imgs: jnp.ndarray, keys: jnp.ndarray, aug_idx: jnp.ndarray):
 # create_transform(input_size=380, is_training=True,
 # auto_augment="rand-m9-mstd0.5-inc1", re_prob=0.2)
 # (train_mm_joint_dualtask.py:72-93): RandomResizedCrop + HFlip(.5) +
-# RandAugment(2 ops, magnitude N(9,.5) of 10, increasing severity) +
-# RandomErasing(p=.2, const). This is the on-device equivalent: RRC+flip+
-# geometric ops compose into ONE affine warp; photometric ops apply with
+# RandAugment(2 ops, each gated Bernoulli(.5) per timm AugmentOp(prob=0.5),
+# magnitude N(9,.5) of 10, increasing severity) + RandomErasing(p=.2,
+# mode='pixel'). This is the on-device equivalent: RRC+flip+geometric ops
+# compose into ONE affine warp; photometric ops apply with
 # no-op parameters when not drawn (static shapes, one jit). Deviations
 # (documented, distributional parity only): Equalize is omitted from the
 # pool (per-image-per-channel histogram for one of 14 slots isn't worth the
@@ -726,8 +727,14 @@ def _randaug_params(key, H, W, magnitude, mag_std, n_ops):
     }
     for draw in range(n_ops):
         kd = jax.random.fold_in(key, draw)
-        kop, kmag, ksign = jax.random.split(kd, 3)
+        kop, kmag, ksign, kapp = jax.random.split(kd, 4)
         op = jax.random.randint(kop, (), 0, _RANDAUG_N_OPS)
+        # timm wraps every op in AugmentOp(prob=0.5): each drawn op only
+        # applies half the time. Sentinel the op index out of range when the
+        # gate fails so every op==k / op<5 test below is false.
+        op = jnp.where(
+            jax.random.bernoulli(kapp, 0.5), op, jnp.int32(_RANDAUG_N_OPS)
+        )
         m = jnp.clip(
             magnitude + jax.random.normal(kmag) * mag_std, 0.0, 10.0
         ) / 10.0
@@ -765,9 +772,13 @@ def _randaug_params(key, H, W, magnitude, mag_std, n_ops):
         phot = {
             "invert": phot["invert"] | (op == 5),
             "autoc": phot["autoc"] | (op == 6),
+            # timm PosterizeIncreasing keeps 4-int(4m) bits: step
+            # 2^(4+int(4m)), clamped to 128 (keep >=1 bit)
             "post_step": jnp.where(
                 op == 7,
-                phot["post_step"] * 2.0 ** jnp.round(4.0 * m),
+                jnp.minimum(
+                    phot["post_step"] * 2.0 ** (4.0 + jnp.floor(4.0 * m)), 128.0
+                ),
                 phot["post_step"],
             ),
             "solar_thr": jnp.where(
@@ -848,7 +859,11 @@ def random_erasing(
     imgs: jnp.ndarray, keys: jnp.ndarray, p: float = 0.2,
     scale=(0.02, 1.0 / 3.0), ratio=(0.3, 3.3),
 ) -> jnp.ndarray:
-    """timm RandomErasing(mode=const): zero a random rectangle with prob p."""
+    """timm RandomErasing(mode='pixel'), the reference MM config
+    (train_mm_joint_dualtask.py:80): fill a random rectangle with per-pixel
+    normal noise, prob p. timm applies it post-normalization with N(0,1)
+    fill; this runs pre-normalization on [0,255], so the equivalent fill is
+    mean*255 + N(0,1)*std*255 per channel (ImageNet stats), clipped."""
     B, H, W, C = imgs.shape
 
     def box(key):
@@ -873,7 +888,13 @@ def random_erasing(
         & (xx >= j[:, None, None]) & (xx < (j + w)[:, None, None])
     )
     kill = inside & on[:, None, None]
-    return jnp.where(kill[..., None], 0.0, imgs)
+    mean = jnp.array([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.array([0.229, 0.224, 0.225], jnp.float32) * 255.0
+    noise = jax.vmap(
+        lambda k: jax.random.normal(jax.random.fold_in(k, 7), (H, W, C))
+    )(keys)
+    noise = jnp.clip(mean + noise * std, 0.0, 255.0)
+    return jnp.where(kill[..., None], noise, imgs)
 
 
 @partial(jax.jit, static_argnames=("img_size",))

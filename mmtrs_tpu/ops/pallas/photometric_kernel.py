@@ -162,9 +162,20 @@ def _photometric_kernel(par_ref, seed_ref, x_ref, out_ref, *, rows, W3, hole):
         out_ref[0] = jnp.where(in_hole, jnp.uint8(0), out_ref[0])
 
 
+def _row_block(H: int) -> int:
+    """Largest 8-aligned divisor of H that is <=128 (sublane tile height).
+    H % 8 == 0 guarantees rows=8 qualifies, so this never fails under
+    supports()."""
+    for rows in range(min(128, H // 8 * 8), 7, -8):
+        if H % rows == 0:
+            return rows
+    raise ValueError(f"no 8-aligned row block for H={H}")
+
+
 def supports(H: int, W: int) -> bool:
     """Mosaic constraints: lanes (W·3) must tile into full 128-lane vregs so
-    the channel rolls stay exact; sublane blocks need f32 8-row tiles."""
+    the channel rolls stay exact; sublane blocks need f32 8-row tiles (the
+    row block is always an 8-aligned divisor of H, see _row_block)."""
     return (W * 3) % 128 == 0 and H % 8 == 0
 
 
@@ -178,9 +189,7 @@ def photometrics_fused_pallas(
     B, H, W, C = imgs.shape
     assert C == 3 and supports(H, W)
     W3 = W * 3
-    rows = H
-    while rows > 128 or H % rows:
-        rows //= 2
+    rows = _row_block(H)
     x = imgs.reshape(B, H, W3)
 
     out = pl.pallas_call(

@@ -172,3 +172,94 @@ def preprocess_numpy(
         segmenter=segmenter,
     )
     return np.asarray(out), {k: np.asarray(v) for k, v in info.items()}
+
+
+# ---------------------------------------------------------------------------
+# Pipelined host↔device overlap
+# ---------------------------------------------------------------------------
+
+
+def pipelined_run(device_fn, host_batches, depth: int = 2):
+    """Run ``device_fn`` over a stream of host batches with 3-stage overlap:
+
+    - the PRODUCER (decode/IO) runs one item ahead on its own thread, so
+      batch N+1 decodes while batch N computes;
+    - DISPATCH is XLA-async from the calling thread (device_put + the jitted
+      call return immediately);
+    - D2H FETCH of batch N−1 happens on a fetch thread concurrently with
+      batch N's dispatch and batch N+1's decode — the transfer (the
+      dominant cost on PCIe/tunnel hosts) no longer serializes the loop.
+
+    ``host_batches``: iterator of (meta, np.ndarray) — all arrays must share
+    ONE static shape (pad the tail; a shape change recompiles).
+    ``device_fn``: np/jnp array → pytree of device arrays.
+    Yields (meta, host_pytree) in input order. ``depth`` bounds in-flight
+    batches (device memory = depth × working set).
+
+    Generalizes the reference contrast: segment.py:30 pays a synchronous
+    host→device→host round-trip PER IMAGE.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def to_host(tree):
+        if isinstance(tree, dict):
+            return {k: to_host(v) for k, v in tree.items()}
+        if isinstance(tree, (tuple, list)):
+            return type(tree)(to_host(v) for v in tree)
+        return np.asarray(tree)
+
+    it = iter(host_batches)
+
+    def next_item():
+        try:
+            return next(it)
+        except StopIteration:
+            return None
+
+    with ThreadPoolExecutor(1) as feeder, ThreadPoolExecutor(1) as fetcher:
+        pending: list = []
+        nxt = feeder.submit(next_item)
+        while True:
+            item = nxt.result()
+            if item is None:
+                break
+            nxt = feeder.submit(next_item)  # decode N+1 while N computes
+            meta, host = item
+            dev = device_fn(jnp.asarray(host))  # async dispatch
+            pending.append((meta, fetcher.submit(to_host, dev)))
+            if len(pending) >= depth:
+                m, f = pending.pop(0)
+                yield m, f.result()
+        for m, f in pending:
+            yield m, f.result()
+
+
+def preprocess_stream(
+    host_batches,
+    cfg: PreprocessConfig = PreprocessConfig(),
+    segmenter=None,
+):
+    """Pipelined preprocessing over a stream of (meta, uint8 [B,H,W,3])
+    host batches (one static shape — pad the tail). Device-side uint8 cast
+    before the fetch (1 byte/px over the wire, not 4). Yields
+    (meta, out_u8 [B,512,512,3], info dict of np arrays)."""
+    kw = dict(
+        out_size=cfg.output_size,
+        do_crop=cfg.do_crop,
+        do_rotate=cfg.do_rotate,
+        clahe_clip=cfg.clahe_clip,
+        tiles=cfg.clahe_tiles,
+        crop_margin=float(cfg.crop_margin_px),
+        use_pallas=_use_pallas(),
+        segmenter=segmenter,
+    )
+
+    def device_fn(x):
+        out, info = preprocess_batch(x, **kw)
+        out_u8 = (jnp.clip(out, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(
+            jnp.uint8
+        )
+        return out_u8, info
+
+    for meta, (out_u8, info) in pipelined_run(device_fn, host_batches):
+        yield meta, out_u8, info

@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from mmtrs_tpu.config import PreprocessConfig
-    from mmtrs_tpu.preprocess import preprocess_numpy
+    from mmtrs_tpu.preprocess import preprocess_stream
     from mmtrs_tpu.utils.images import iter_batches, list_images, load_image, save_jpeg
     from mmtrs_tpu.utils.io import save_json, timestamp
 
@@ -70,15 +70,29 @@ def main(argv=None) -> int:
 
     logs, n_ok = [], 0
     t0 = time.perf_counter()
-    for ok_paths, batch, rejected in iter_batches(
-        paths, args.batch_size, min_edge=cfg.min_edge_px
+
+    # decode→compute→fetch overlap (preprocess_stream pipelines the three
+    # stages; the reference pays a synchronous round-trip per image,
+    # segment.py:30). Batches are padded to batch_size so the jit program
+    # shape stays static across the stream.
+    def feed():
+        for ok_paths, batch, rejected in iter_batches(
+            paths, args.batch_size, min_edge=cfg.min_edge_px
+        ):
+            for r, reason in rejected:
+                logs.append({"file": r.name, "status": f"rejected_{reason}"})
+            if not len(batch):
+                continue
+            n_real = len(batch)
+            if n_real < args.batch_size:
+                pad = np.repeat(batch[-1:], args.batch_size - n_real, axis=0)
+                batch = np.concatenate([batch, pad], axis=0)
+            yield (ok_paths, n_real), batch
+
+    for (ok_paths, n_real), out, info in preprocess_stream(
+        feed(), cfg, segmenter=segmenter
     ):
-        for r, reason in rejected:
-            logs.append({"file": r.name, "status": f"rejected_{reason}"})
-        if not len(batch):
-            continue
-        out, info = preprocess_numpy(batch, cfg, segmenter=segmenter)
-        for i, p in enumerate(ok_paths):
+        for i, p in enumerate(ok_paths[:n_real]):
             dst = out_dir / f"{p.stem}.jpg"
             save_jpeg(dst, out[i], cfg.jpeg_quality)
             logs.append(

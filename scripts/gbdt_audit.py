@@ -27,8 +27,9 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 
-def main() -> int:
-    import pandas as pd
+def run_audit() -> dict:
+    """Train both stacks on the same cohort and return the comparison dict
+    (importable so tests can pin the quality bar as a regression check)."""
     from sklearn.ensemble import (
         HistGradientBoostingClassifier,
         HistGradientBoostingRegressor,
@@ -102,11 +103,29 @@ def main() -> int:
         "regressor": rep["ours"]["lgbm_like_auc"] - rep["sklearn"]["hgb_regressor_auc"],
         "stack": rep["ours"]["stack_auc"] - rep["sklearn"]["hgb_stack_auc"],
     }
-    # noise scale on an ~84-case test split: binomial AUC se ≈ 0.06
-    rep["verdict_within_noise"] = bool(
-        all(abs(v) < 0.08 for v in rep["delta"].values())
+    # Direction-aware verdict: the JAX forest must not lose to sklearn HGB
+    # by more than one noise margin (AUC se ≈ 0.06 on an 80-row test split);
+    # winning by more than noise is "above_baseline", not "within noise".
+    worst = min(rep["delta"].values())
+    best = max(rep["delta"].values())
+    rep["verdict"] = (
+        "above_baseline"
+        if worst >= -0.01 and best > 0.06
+        else "at_or_above_baseline"
+        if worst >= -0.01
+        else "below_baseline"
     )
+    rep["verdict_note"] = (
+        "deltas are (JAX forest − sklearn HistGradientBoosting) test AUC on "
+        "the same 422-row cohort/split; xgboost/lightgbm wheels are not "
+        "installed in this environment, so sklearn HGB is the only live "
+        "baseline compared"
+    )
+    return rep
 
+
+def main() -> int:
+    rep = run_audit()
     out = REPO / "reports" / "gbdt_audit.json"
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(rep, indent=2, default=float))

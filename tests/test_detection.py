@@ -210,9 +210,12 @@ def test_converter_roundtrip_full_r50():
         variables["params"]["box_head"]["fc6"]["kernel"],
         sd["roi_heads.box_head.fc6.weight"].T,
     )
+    # deconv → (kh,kw,out,in): ConvTranspose(transpose_kernel=True) flips/
+    # swaps internally to reproduce torch's gradient-of-conv (see
+    # tests/test_convert_detection.py for the live-torch forward parity)
     np.testing.assert_array_equal(
         variables["params"]["mask_head"]["conv5_mask"]["kernel"],
-        np.transpose(sd["roi_heads.mask_predictor.conv5_mask.weight"], (2, 3, 0, 1)),
+        np.transpose(sd["roi_heads.mask_predictor.conv5_mask.weight"], (2, 3, 1, 0)),
     )
 
 
