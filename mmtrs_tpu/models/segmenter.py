@@ -105,7 +105,49 @@ class SaliencySegmenter:
 
         (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=16)
         thr = 0.5 * (lo + hi)
-        mask = sal >= thr[:, None, None]
+        seed = sal >= thr[:, None, None]
+
+        ridx = jnp.arange(H, dtype=jnp.float32)
+        cidx = jnp.arange(W, dtype=jnp.float32)
+
+        def mask_bbox(mask):
+            rows = mask.any(axis=2)
+            cols = mask.any(axis=1)
+            y0 = jnp.min(jnp.where(rows, ridx, float(H)), axis=1)
+            y1 = jnp.max(jnp.where(rows, ridx, -1.0), axis=1) + 1.0
+            x0 = jnp.min(jnp.where(cols, cidx, float(W)), axis=1)
+            x1 = jnp.max(jnp.where(cols, cidx, -1.0), axis=1) + 1.0
+            return y0, x0, y1, x1
+
+        # Extent growth (round 4): the seed is the top-(1−q) saliency MASS —
+        # a peak region, not the tooth's extent — while the reference crops
+        # the bbox of the detected tooth's full mask (segment.py:57-66). Grow
+        # the seed to the full bright object: threshold raw brightness at the
+        # Otsu-style midpoint between seed and background means, windowed to
+        # a 25%-dilated seed bbox so bright clutter elsewhere in the frame
+        # cannot inflate the crop.
+        sf = seed.astype(jnp.float32)
+        n_seed = jnp.maximum(sf.sum(axis=(1, 2)), 1.0)
+        mean_seed = (l * sf).sum(axis=(1, 2)) / n_seed
+        n_rest = jnp.maximum((1.0 - sf).sum(axis=(1, 2)), 1.0)
+        mean_rest = (l * (1.0 - sf)).sum(axis=(1, 2)) / n_rest
+        thr_l = 0.5 * (mean_seed + mean_rest)
+
+        sy0, sx0, sy1, sx1 = mask_bbox(seed)
+        my = 0.25 * (sy1 - sy0)
+        mx = 0.25 * (sx1 - sx0)
+        yy1 = ridx[None, :, None]
+        xx1 = cidx[None, None, :]
+        window = (
+            (yy1 >= (sy0 - my)[:, None, None])
+            & (yy1 < (sy1 + my)[:, None, None])
+            & (xx1 >= (sx0 - mx)[:, None, None])
+            & (xx1 < (sx1 + mx)[:, None, None])
+        )
+        mask = (l >= thr_l[:, None, None]) & window
+        # degenerate extent (flat image) → fall back to the seed
+        has_ext = mask.any(axis=(1, 2))
+        mask = jnp.where(has_ext[:, None, None], mask, seed)
 
         # metal filter: mean saturation over the proposed mask must be ≥ 40
         m = mask.astype(jnp.float32)
@@ -115,15 +157,8 @@ class SaliencySegmenter:
         area_ok = n >= self.min_area_frac * H * W
         valid = sat_ok & area_ok
 
-        # bounding box of mask mass (static shapes)
-        ridx = jnp.arange(H, dtype=jnp.float32)
-        cidx = jnp.arange(W, dtype=jnp.float32)
-        rows = mask.any(axis=2)
-        cols = mask.any(axis=1)
-        y0 = jnp.min(jnp.where(rows, ridx, float(H)), axis=1)
-        y1 = jnp.max(jnp.where(rows, ridx, -1.0), axis=1) + 1.0
-        x0 = jnp.min(jnp.where(cols, cidx, float(W)), axis=1)
-        x1 = jnp.max(jnp.where(cols, cidx, -1.0), axis=1) + 1.0
+        # bounding box of the grown mask (static shapes)
+        y0, x0, y1, x1 = mask_bbox(mask)
         boxes = jnp.stack([y0, x0, y1, x1], axis=1)
 
         # centre-crop fallback geometry for invalid proposals
