@@ -97,8 +97,11 @@ def main() -> int:
             lat_imgonly.append(time.perf_counter() - t0)
             assert "error" not in out, out
 
+    import jax
+
     pct = lambda a, q: float(np.percentile(np.asarray(a), q))
     rep = {
+        "platform": jax.devices()[0].platform,
         "n_measured": n_meas,
         "upload_px": 520,
         "predict_one_full_p50_s": round(pct(lat_full, 50), 4),

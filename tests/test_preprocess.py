@@ -122,3 +122,42 @@ def test_run_pipeline_cli(tmp_path):
     assert payload["processed"] == 3
     statuses = {e["file"]: e["status"] for e in payload["entries"]}
     assert statuses["small.jpg"] == "rejected_min_edge"
+
+
+def test_pipelined_run_order_and_completeness():
+    """pipelined_run must yield every batch, in input order, with results
+    identical to the serial path (overlap is a scheduling change only)."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.preprocess import pipelined_run
+
+    batches = [(i, np.full((2, 4, 4, 3), i, np.uint8)) for i in range(7)]
+    fn = lambda v: v.astype(jnp.float32) * 2.0
+    got = list(pipelined_run(fn, iter(batches)))
+    assert [m for m, _ in got] == list(range(7))
+    for i, (_, out) in enumerate(got):
+        np.testing.assert_array_equal(out, np.full((2, 4, 4, 3), 2.0 * i))
+
+
+def test_preprocess_stream_matches_preprocess_numpy():
+    """The pipelined stream and the plain host API produce identical bytes
+    (device-side uint8 cast in both)."""
+    from mmtrs_tpu.config import PreprocessConfig
+    from mmtrs_tpu.preprocess import preprocess_numpy, preprocess_stream
+    from tests.synth import synth_images
+
+    cfg = PreprocessConfig()
+    imgs = synth_images(4, 512, seed=31)
+    chunks = [imgs[:2], imgs[2:]]
+    got = list(preprocess_stream(((i, c) for i, c in enumerate(chunks)), cfg))
+    assert [m for m, _, _ in got] == [0, 1]
+    out_stream = np.concatenate([o for _, o, _ in got])
+    ref, info = preprocess_numpy(imgs, cfg)
+    ref_u8 = np.clip(ref, 0, 255).astype(np.float32)
+    ref_u8 = np.floor(ref_u8 + 0.5).astype(np.uint8)
+    # different batch shapes fuse differently in XLA → f32 ULP straddles at
+    # the .5 quantiser boundary on a handful of pixels (repo-standard bar)
+    diff = np.abs(out_stream.astype(int) - ref_u8.astype(int))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() >= 0.9999
+    assert out_stream.dtype == np.uint8
