@@ -58,7 +58,7 @@ def _hist_lut_kernel(pix_ref, lut_ref, *, area, clip, tiles_per_step):
     hrows = jax.lax.broadcasted_iota(jnp.int32, (16, N_BINS), 0)
     flat_mask = ((vbins >> 4) == hrows).astype(jnp.float32)
     for j in range(tiles_per_step):  # one grid step owns a whole tile-row
-        pix = pix_ref[0, j, :, :]  # [1, area] — lane-major
+        pix = pix_ref[0, j, :, :].astype(jnp.int32)  # [1, area] — lane-major
         oh = ((pix >> 4) == sub).astype(jnp.bfloat16)  # [16, area]
         ol = ((pix & 15) == sub).astype(jnp.bfloat16)
         counts = jax.lax.dot_general(
@@ -140,7 +140,7 @@ def _apply_kernel(pix_ref, lut_ref, wq_ref, out_ref, *, th, tw, ty, tx):
         # ≤ 255 (both exactly representable in bf16), accumulated in f32
         W = jnp.stack(cols, axis=0).astype(jnp.bfloat16)  # [9, 256]
 
-        pix = pix_ref[0, j, :, :]  # [1, area]
+        pix = pix_ref[0, j, :, :].astype(jnp.int32)  # [1, area]
         onehot = (pix == bins).astype(jnp.bfloat16)  # [256, area]
         vals = jnp.dot(W, onehot, preferred_element_type=jnp.float32)  # [9, area]
 
@@ -161,7 +161,10 @@ def clahe_pallas(
     area = th * tw
     n_tiles = ty * tx
 
-    pix = jnp.clip(jnp.round(l), 0, N_BINS - 1).astype(jnp.int32)
+    # uint8 transport: the tile transpose is a strided relayout whose cost
+    # scales with bytes — L quantizes to 8 bits anyway, so ship 1 byte/px
+    # through HBM and widen to int32 inside the kernels (round-4 lever)
+    pix = jnp.clip(jnp.round(l), 0, N_BINS - 1).astype(jnp.uint8)
     # b (ty th) (tx tw) -> b (ty tx) 1 (th tw)
     tiled = (
         pix.reshape(B, ty, th, tx, tw)
