@@ -149,9 +149,10 @@ def _apply_kernel(pix_ref, lut_ref, wq_ref, out_ref, *, th, tw, ty, tx):
         out_ref[0, j, :, :] = jnp.sum(vals * wq, axis=0, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("clip", "tiles"))
+@partial(jax.jit, static_argnames=("clip", "tiles", "interpret"))
 def clahe_pallas(
-    l: jnp.ndarray, clip: float = 3.0, tiles: tuple[int, int] = (8, 8)
+    l: jnp.ndarray, clip: float = 3.0, tiles: tuple[int, int] = (8, 8),
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas CLAHE on [B, H, W] float32 L-channel (0..255)."""
     B, H, W = l.shape
@@ -186,6 +187,7 @@ def clahe_pallas(
             (1, tx, 1, N_BINS), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
     )(tiled)
 
     out_tiled = pl.pallas_call(
@@ -209,6 +211,7 @@ def clahe_pallas(
             (1, tx, 1, area), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
     )(tiled, lut, wq)
 
     # b (ty tx) 1 (th tw) -> b (ty th) (tx tw)

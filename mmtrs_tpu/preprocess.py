@@ -28,8 +28,13 @@ from mmtrs_tpu.ops.resize import crop_box_resize
 
 try:  # Pallas CLAHE only compiles on real TPU; fall back to XLA elsewhere
     from mmtrs_tpu.ops.pallas.clahe_kernel import clahe_pallas as _clahe_fast
+    from mmtrs_tpu.ops.pallas.lab_kernels import (
+        clahe_lab_fused as _lab_fused,
+        supports as _lab_fused_ok,
+    )
 except Exception:  # pragma: no cover
     _clahe_fast = None
+    _lab_fused = None
 
 
 def _use_pallas() -> bool:
@@ -37,6 +42,27 @@ def _use_pallas() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def _clahe_lab_stage(imgs, clahe_clip, tiles, use_pallas):
+    """CLAHE on the LAB L channel, uint8-staged output (normalise.py:10-16).
+
+    On TPU this is the fused planar Pallas path (ops/pallas/lab_kernels.py:
+    one u8 planarize → forward-LAB kernel → CLAHE kernels → ΔfY backward
+    kernel → one u8 interleave — no f32 LAB materialization); elsewhere the
+    XLA composition, which doubles as the parity oracle."""
+    if (
+        use_pallas
+        and _lab_fused is not None
+        and _lab_fused_ok(imgs.shape[1], imgs.shape[2], tiles)
+    ):
+        return _lab_fused(imgs, clip=clahe_clip, tiles=tiles)
+    x = imgs.astype(jnp.float32)
+    lab = rgb_to_lab(x)
+    fn = _clahe_fast if (use_pallas and _clahe_fast is not None) else clahe
+    l2 = fn(lab[..., 0], clip=clahe_clip, tiles=tiles)
+    x = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
+    return (jnp.clip(x, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
 
 
 @partial(
@@ -59,16 +85,10 @@ def preprocess_batch(
 ):
     """imgs: [B, H, W, 3] uint8/float 0..255 → (out [B,512,512,3] f32,
     info dict with seg_valid / deskew_angle)."""
-    x = imgs.astype(jnp.float32)
-
-    # 1. CLAHE on the LAB L channel (normalise.py:10-16)
-    lab = rgb_to_lab(x)
-    fn = _clahe_fast if (use_pallas and _clahe_fast is not None) else clahe
-    l2 = fn(lab[..., 0], clip=clahe_clip, tiles=tiles)
-    x = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
-    # uint8 staging (cv2.cvtColor LAB2BGR on uint8 returns uint8): quarters
-    # the HBM traffic of the deskew/segment/crop passes downstream
-    x = (jnp.clip(x, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
+    # 1. CLAHE on the LAB L channel (normalise.py:10-16); uint8-staged out
+    # (cv2.cvtColor LAB2BGR on uint8 returns uint8): quarters the HBM
+    # traffic of the deskew/segment/crop passes downstream
+    x = _clahe_lab_stage(imgs, clahe_clip, tiles, use_pallas)
 
     # 2. optional deskew (normalise.py:19-57)
     if do_rotate:
@@ -127,14 +147,7 @@ def preprocess_augment_batch(
     from mmtrs_tpu.ops.augment import legacy_geo_mats, legacy_photometrics
     from mmtrs_tpu.ops.resize import crop_warp_fused
 
-    x = imgs.astype(jnp.float32)
-    lab = rgb_to_lab(x)
-    fn = _clahe_fast if (use_pallas and _clahe_fast is not None) else clahe
-    l2 = fn(lab[..., 0], clip=clahe_clip, tiles=tiles)
-    x = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
-    # uint8 staging (cv2.cvtColor LAB2BGR on uint8 returns uint8): quarters
-    # the HBM traffic of every downstream full-image pass
-    x = (jnp.clip(x, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
+    x = _clahe_lab_stage(imgs, clahe_clip, tiles, use_pallas)
 
     if do_rotate:
         x, angle = deskew_batch(x)

@@ -388,3 +388,29 @@ def test_crop_warp_fused_matches_sequential_on_linear_ramp():
     assert interior.sum() > 1000
     d = np.abs(seq - fused)[interior]
     assert d.max() < 0.35, d.max()
+
+
+def test_clahe_lab_fused_matches_xla_composition_interpret():
+    """The fused planar LAB↔RGB Pallas path (interpret mode on CPU) must
+    match rgb_to_lab → clahe → lab_to_rgb → uint8-stage within 1 level
+    (f32 exp/log-vs-pow ULP straddles at the quantiser only)."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops.clahe import clahe
+    from mmtrs_tpu.ops.color import lab_to_rgb, rgb_to_lab
+    from mmtrs_tpu.ops.pallas.lab_kernels import clahe_lab_fused, supports
+    from tests.synth import synth_images
+
+    assert supports(128, 128)
+    imgs = synth_images(2, 128, seed=9)
+    got = np.asarray(clahe_lab_fused(jnp.asarray(imgs), interpret=True))
+
+    lab = rgb_to_lab(jnp.asarray(imgs, jnp.float32))
+    l2 = clahe(lab[..., 0])
+    rgb = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
+    want = np.asarray(
+        (jnp.clip(rgb, 0, 255) + 0.5).astype(jnp.int32).astype(jnp.uint8)
+    )
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, diff.max()
+    assert (diff == 0).mean() >= 0.999, (diff == 0).mean()
