@@ -138,3 +138,84 @@ def shift_rows_windowed_pallas(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
     )(rows, off)
+
+
+# ---------------------------------------------------------------------------
+# Fused resample: butterfly shift + interpolation MATMUL in one VMEM
+# residency — the per-axis building block of the gather-free affine warp
+# (ops.warp._resample_rows_affine) without its separate shift-output and
+# matmul-input HBM round-trips. Reads uint8 (or f32) planar rows, writes
+# f32 resampled rows. Round-4 lever: the warp family is layout/HBM-bound.
+# ---------------------------------------------------------------------------
+
+
+def _resample_rows_kernel(off_ref, al_ref, r_ref, img_ref, out_ref, *, W):
+    x = img_ref[...]
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.int32).astype(jnp.float32)
+    off = off_ref[...]  # [R, 1] f32 (β(y) − r, per row)
+    k = jnp.floor(off)
+    f = off - k
+    s = jax.lax.rem(k.astype(jnp.int32), W)
+    s = jnp.where(s < 0, s + W, s)
+    a = _cascade(x, s, W)
+    b = pltpu.roll(a, W - 1, axis=1)
+    tmp = (1.0 - f) * a + f * b
+    # replicate border for the shift (source col of the SHIFT leaves range)
+    xx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1).astype(jnp.float32)
+    src = xx + off
+    left = jax.lax.broadcast_in_dim(x[:, 0], x.shape, (0,))
+    right = jax.lax.broadcast_in_dim(x[:, W - 1], x.shape, (0,))
+    tmp = jnp.where(src < 0.0, left, tmp)
+    tmp = jnp.where(src > W - 1.0, right, tmp)
+
+    # interpolation matmul: out[y, xo] = Σ_x tmp[y, x] · max(0, 1−|c(xo)−x|)
+    # with c(xo) = clip(α·xo + r, 0, W−1) — α, r constant within the block
+    # (blocks never span images: block rows divide H)
+    alpha = al_ref[0, 0]
+    r = r_ref[0, 0]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(jnp.float32)
+    xo = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1).astype(jnp.float32)
+    coord = jnp.clip(alpha * xo + r, 0.0, W - 1.0)
+    M = jnp.maximum(1.0 - jnp.abs(coord - xs), 0.0)  # [W(src), W(out)]
+    out_ref[...] = jax.lax.dot_general(
+        tmp, M, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+@partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def resample_rows_pallas(
+    rows: jnp.ndarray,
+    off: jnp.ndarray,
+    alpha: jnp.ndarray,
+    r: jnp.ndarray,
+    block_rows: int = 128,
+    interpret: bool = False,
+):
+    """rows [M, W] uint8/f32, off/alpha/r [M] f32 →
+    out[m, xo] = shifted(m)[clip(α_m·xo + r_m)] with bilinear taps — the
+    exact per-axis semantics of ops.warp._resample_rows_affine, one HBM
+    read + one write. Blocks must not span rows with different α/r: the
+    caller aligns block_rows to divide H."""
+    M, W = rows.shape
+    R = min(block_rows, M)
+    while M % R:
+        R //= 2
+    grid = (M // R,)
+    vec = lambda v: v[:, None]
+    return pl.pallas_call(
+        partial(_resample_rows_kernel, W=W),
+        out_shape=jax.ShapeDtypeStruct((M, W), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(vec(off), vec(alpha), vec(r), rows)

@@ -305,6 +305,62 @@ def invert_affine_params(mats: jnp.ndarray):
             inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2])
 
 
+def _fused_resample_ok(H: int, W: int) -> bool:
+    if not _pallas_shift_available():
+        return False
+    ok_dim = lambda n: any(n % r == 0 for r in range(min(128, n), 7, -8))
+    return H % 8 == 0 and W % 8 == 0 and ok_dim(H) and ok_dim(W)
+
+
+def _row_block(n: int) -> int:
+    for r in range(min(128, n // 8 * 8), 7, -8):
+        if n % r == 0:
+            return r
+    raise ValueError(n)
+
+
+def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
+    """Planar fused two-pass warp: ONE u8 (or f32) planarize, per-pass
+    fused shift+interp-matmul Pallas kernels (shift_kernel.
+    resample_rows_pallas), f32 transposes only between passes. Same
+    Catmull-Smith decomposition and numerics as the XLA path below."""
+    from mmtrs_tpu.ops.pallas.shift_kernel import resample_rows_pallas
+
+    B, H, W, C = imgs.shape
+    ys_idx = jnp.arange(H, dtype=jnp.float32)[None, :]
+    xs_idx = jnp.arange(W, dtype=jnp.float32)[None, :]
+
+    # horizontal pass params (per row of each image)
+    alpha_h = a - b * d / e_safe                     # [B]
+    beta_h = (b / e_safe)[:, None] * ys_idx + (c - b * f / e_safe)[:, None]
+    r_h = jnp.mean(beta_h, axis=1)                   # [B]
+    off_h = beta_h - r_h[:, None]                    # [B, H]
+
+    planar = imgs.transpose(0, 3, 1, 2).reshape(B * C * H, W)
+    rep = lambda v: jnp.broadcast_to(
+        v[:, None, None], (B, C, H)
+    ).reshape(-1)
+    off_r = jnp.broadcast_to(off_h[:, None, :], (B, C, H)).reshape(-1)
+    tmp = resample_rows_pallas(
+        planar, off_r, rep(alpha_h), rep(r_h), block_rows=_row_block(H)
+    )  # [B·C·H, W] f32
+
+    # vertical pass: columns become rows
+    tmpT = tmp.reshape(B, C, H, W).transpose(0, 1, 3, 2).reshape(B * C * W, H)
+    beta_v = d[:, None] * xs_idx + f[:, None]        # [B, W]
+    r_v = jnp.mean(beta_v, axis=1)
+    off_v = jnp.broadcast_to(
+        (beta_v - r_v[:, None])[:, None, :], (B, C, W)
+    ).reshape(-1)
+    repv = lambda v: jnp.broadcast_to(
+        v[:, None, None], (B, C, W)
+    ).reshape(-1)
+    outT = resample_rows_pallas(
+        tmpT, off_v, repv(e_safe), repv(r_v), block_rows=_row_block(W)
+    )
+    return outT.reshape(B, C, W, H).transpose(0, 3, 2, 1)  # NHWC
+
+
 def warp_affine_shear(
     imgs: jnp.ndarray,
     matrices: jnp.ndarray,
@@ -327,18 +383,21 @@ def warp_affine_shear(
     a, b, c, d, e, f = invert_affine_params(matrices)
     e_safe = jnp.where(jnp.abs(e) < 1e-3, jnp.where(e < 0, -1e-3, 1e-3), e)
 
-    ys_idx = jnp.arange(H, dtype=jnp.float32)[None, :]
-    xs_idx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    if _fused_resample_ok(H, W):
+        out = _warp_shear_fused(imgs, a, b, c, d, e_safe, f)
+    else:
+        ys_idx = jnp.arange(H, dtype=jnp.float32)[None, :]
+        xs_idx = jnp.arange(W, dtype=jnp.float32)[None, :]
 
-    alpha_h = a - b * d / e_safe
-    beta_h = (b / e_safe)[:, None] * ys_idx + (c - b * f / e_safe)[:, None]
-    tmp = _resample_rows_affine(imgs, alpha_h, beta_h)
+        alpha_h = a - b * d / e_safe
+        beta_h = (b / e_safe)[:, None] * ys_idx + (c - b * f / e_safe)[:, None]
+        tmp = _resample_rows_affine(imgs, alpha_h, beta_h)
 
-    # vertical: transpose trick — columns become rows
-    beta_v = d[:, None] * xs_idx + f[:, None]
-    tmpT = jnp.swapaxes(tmp, 1, 2)
-    outT = _resample_rows_affine(tmpT, e, beta_v)
-    out = jnp.swapaxes(outT, 1, 2)
+        # vertical: transpose trick — columns become rows
+        beta_v = d[:, None] * xs_idx + f[:, None]
+        tmpT = jnp.swapaxes(tmp, 1, 2)
+        outT = _resample_rows_affine(tmpT, e, beta_v)
+        out = jnp.swapaxes(outT, 1, 2)
 
     if border == "constant":
         yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]

@@ -158,8 +158,9 @@ def preprocess_augment_batch(
     boxes, valid = seg.propose_boxes(x)
 
     mats = legacy_geo_mats(keys, out_size, out_size)
-    out = crop_warp_fused(x.astype(jnp.float32), boxes, mats, out_size,
-                          margin=crop_margin)
+    # x stays uint8 into the warp: the fused planar resample kernel reads
+    # 1-byte pixels (ops/warp._warp_shear_fused); XLA paths promote to f32
+    out = crop_warp_fused(x, boxes, mats, out_size, margin=crop_margin)
     out = legacy_photometrics(out, keys, out_size)
     return out, {"seg_valid": valid, "deskew_angle": angle, "boxes": boxes}
 

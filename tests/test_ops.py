@@ -414,3 +414,78 @@ def test_clahe_lab_fused_matches_xla_composition_interpret():
     diff = np.abs(got.astype(int) - want.astype(int))
     assert diff.max() <= 1, diff.max()
     assert (diff == 0).mean() >= 0.999, (diff == 0).mean()
+
+
+def test_resample_rows_pallas_matches_xla_interpret():
+    """Fused shift+interp-matmul kernel (interpret mode) must reproduce
+    _resample_rows_affine per axis on uint8 planar rows."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops.pallas.shift_kernel import resample_rows_pallas
+    from mmtrs_tpu.ops.warp import _resample_rows_affine
+
+    rng = np.random.default_rng(5)
+    B, H, W, C = 2, 32, 128, 3
+    imgs = rng.integers(0, 256, (B, H, W, C)).astype(np.float32)
+    alpha = jnp.asarray([0.8, -1.1])
+    beta = jnp.asarray(rng.uniform(-20, 20, (B, H)).astype(np.float32))
+    want = np.asarray(
+        _resample_rows_affine(
+            jnp.asarray(imgs), alpha, beta,
+            precision=__import__("jax").lax.Precision.HIGHEST,
+        )
+    )
+
+    planar = jnp.asarray(imgs.astype(np.uint8)).transpose(0, 3, 1, 2).reshape(
+        B * C * H, W
+    )
+    r = jnp.mean(beta, axis=1)
+    off = beta - r[:, None]
+    rep = lambda v, n: jnp.broadcast_to(v[:, None, None], (B, C, n)).reshape(-1)
+    got = np.asarray(
+        resample_rows_pallas(
+            planar, rep3 := jnp.broadcast_to(off[:, None, :], (B, C, H)).reshape(-1),
+            rep(alpha, H), rep(r, H), block_rows=32, interpret=True,
+        )
+    ).reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-5)
+
+
+def test_warp_shear_fused_matches_xla_interpret(monkeypatch):
+    """_warp_shear_fused (both passes + transposes) vs the XLA two-pass
+    path, full warp matrices, interpret-mode kernels."""
+    import jax.numpy as jnp
+
+    import mmtrs_tpu.ops.pallas.shift_kernel as sk
+    from mmtrs_tpu.ops import warp as wp
+
+    orig = sk.resample_rows_pallas
+    monkeypatch.setattr(
+        sk, "resample_rows_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    rng = np.random.default_rng(6)
+    B, H, W = 2, 64, 128
+    imgs = rng.integers(0, 256, (B, H, W, 3)).astype(np.float32)
+    th = np.deg2rad(9.0)
+    mats = np.stack([
+        np.array([[np.cos(th), -np.sin(th), 6.0],
+                  [np.sin(th), np.cos(th), -3.0], [0, 0, 1]], np.float32),
+        np.array([[1.05, 0.1, -4.0], [0.02, 0.95, 5.0], [0, 0, 1]], np.float32),
+    ])
+    a, b, c, d, e, f = wp.invert_affine_params(jnp.asarray(mats))
+    e_safe = jnp.where(jnp.abs(e) < 1e-3, 1e-3, e)
+    got = np.asarray(
+        wp._warp_shear_fused(jnp.asarray(imgs), a, b, c, d, e_safe, f)
+    )
+
+    ys_idx = jnp.arange(H, dtype=jnp.float32)[None, :]
+    xs_idx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    alpha_h = a - b * d / e_safe
+    beta_h = (b / e_safe)[:, None] * ys_idx + (c - b * f / e_safe)[:, None]
+    tmp = wp._resample_rows_affine(jnp.asarray(imgs), alpha_h, beta_h)
+    beta_v = d[:, None] * xs_idx + f[:, None]
+    tmpT = jnp.swapaxes(tmp, 1, 2)
+    outT = wp._resample_rows_affine(tmpT, e, beta_v)
+    want = np.asarray(jnp.swapaxes(outT, 1, 2))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-5)
