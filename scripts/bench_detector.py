@@ -44,51 +44,60 @@ def timeit(fn, variants, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
+def _bench_config(cfg, B, iters, variants_512):
+    """Throughput of propose_boxes for one DetectorConfig at batch B."""
+    from mmtrs_tpu.models.detection.modules import MaskRCNN
+    from mmtrs_tpu.models.detection.segmenter import MaskRCNNSegmenter
+
+    model = MaskRCNN(cfg)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    )
+    seg = MaskRCNNSegmenter(variables, cfg)
+    variants = [v[:B] for v in variants_512]
+    dt = timeit(lambda v: seg.propose_boxes(v), variants, iters)
+    return seg, B / dt
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--sweep", action="store_true",
+                    help="bf16/batch/resolution sweep (round-4 item 2a)")
     args = ap.parse_args()
     B = args.batch
 
     from bench import synth_batch
-    from mmtrs_tpu.models.detection.modules import DetectorConfig, MaskRCNN
-    from mmtrs_tpu.models.detection.segmenter import MaskRCNNSegmenter
+    from mmtrs_tpu.models.detection.modules import DetectorConfig
     from mmtrs_tpu.preprocess import preprocess_batch
 
     platform = jax.devices()[0].platform
     print(f"platform={platform} batch={B}", flush=True)
 
+    max_b = max(B, 32) if args.sweep else B
+    x = jnp.asarray(synth_batch(max_b)).astype(jnp.float32)
+    variants_512 = [jnp.clip(x + i, 0, 255) for i in range(4)]
+
+    # baseline config (f32, detector input 512 — the r3-measured point)
     cfg = DetectorConfig()
-    model = MaskRCNN(cfg)
     t0 = time.perf_counter()
-    variables = model.init(
-        jax.random.key(0), jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
-    )
-    print(f"init {time.perf_counter() - t0:.1f}s", flush=True)
-    seg = MaskRCNNSegmenter(variables, cfg)
-
-    x = jnp.asarray(synth_batch(B)).astype(jnp.float32)
-    variants = [jnp.clip(x + i, 0, 255) for i in range(4)]
-
-    t0 = time.perf_counter()
-    dt_seg = timeit(lambda v: seg.propose_boxes(v), variants, args.iters)
-    print(f"segmenter-only: {dt_seg*1000:.1f} ms/batch "
-          f"({B/dt_seg:.1f} imgs/s) [first call incl compile "
-          f"{time.perf_counter()-t0:.0f}s]", flush=True)
+    seg, base_rate = _bench_config(cfg, B, args.iters, variants_512)
+    print(f"f32@512 b{B}: {base_rate:.1f} imgs/s "
+          f"[incl compile {time.perf_counter()-t0:.0f}s]", flush=True)
 
     fn = jax.jit(
         lambda v: preprocess_batch(v, out_size=512, use_pallas=platform == "tpu",
                                    segmenter=seg)
     )
-    dt_chain = timeit(fn, variants, args.iters)
-    print(f"preprocess chain + learned segmenter: {dt_chain*1000:.1f} ms/batch "
-          f"({B/dt_chain:.1f} imgs/s)", flush=True)
+    dt_chain = timeit(fn, [v[:B] for v in variants_512], args.iters)
+    print(f"preprocess chain + learned segmenter: {B/dt_chain:.1f} imgs/s",
+          flush=True)
 
     rec = {
         "batch": B,
         "platform": platform,
-        "maskrcnn_segment_imgs_per_sec": round(B / dt_seg, 2),
+        "maskrcnn_segment_imgs_per_sec": round(base_rate, 2),
         "preproc_with_maskrcnn_imgs_per_sec": round(B / dt_chain, 2),
         "note": (
             "random weights (no COCO ckpt reachable in this env); program "
@@ -96,6 +105,40 @@ def main() -> int:
             "Mask R-CNN forward (segment.py:30) at ~tens of imgs/s on GPU."
         ),
     }
+
+    if args.sweep:
+        # bf16 backbone/FPN/heads × batch × detector input resolution.
+        # The reference feeds torchvision full-res images (min-size-800
+        # transform, segment.py:24-30); the TPU port resizes to
+        # cfg.img_size first — the consumer is ONE crop box, so lower
+        # detector resolution trades box granularity, not crop contract.
+        sweep = {}
+        for dtype in ("float32", "bfloat16"):
+            for size in (512, 384, 256):
+                for b in (8, 16, 32):
+                    c = DetectorConfig(img_size=size, compute_dtype=dtype)
+                    t0 = time.perf_counter()
+                    try:
+                        _, rate = _bench_config(c, b, args.iters, variants_512)
+                    except Exception as e:  # OOM etc. — record and move on
+                        sweep[f"{dtype}@{size} b{b}"] = f"failed: {e}"[:120]
+                        continue
+                    sweep[f"{dtype}@{size} b{b}"] = round(rate, 2)
+                    print(f"{dtype}@{size} b{b}: {rate:.1f} imgs/s "
+                          f"[{time.perf_counter()-t0:.0f}s]", flush=True)
+        rec["sweep_imgs_per_sec"] = sweep
+        best = max(
+            (v, k) for k, v in sweep.items() if isinstance(v, (int, float))
+        )
+        rec["best"] = {"config": best[1], "imgs_per_sec": best[0]}
+        rec["sweep_note"] = (
+            "detections come from the same heads; bf16 runs body/FPN/RPN/"
+            "head matmuls in bfloat16 (box decode/NMS stay f32). Input "
+            "resolution is the detector's internal resize (propose_boxes "
+            "resizes to cfg.img_size; boxes are rescaled to the input "
+            "frame)."
+        )
+
     out = _REPO / "reports" / "detector_bench.json"
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(rec, indent=2))
