@@ -507,10 +507,24 @@ def legacy_photometrics(
         out = photometrics_pointwise_ref(out, params, nk, hole)
 
     cap16 = _subset_cap(B, 0.5 / 3.0)
-    out = subset_apply(
-        lambda s: _q8(clahe_rgb(s.astype(jnp.float32), clip=2.0, tiles=(8, 8))),
-        out, use_clahe, cap16,
-    )
+
+    def _clahe_sub(s):
+        # on TPU ride the fused planar LAB↔RGB kernels (ops/pallas/
+        # lab_kernels.py — no f32 LAB materialization); XLA oracle elsewhere
+        if use_fused:
+            try:
+                from mmtrs_tpu.ops.pallas.lab_kernels import (
+                    clahe_lab_fused,
+                    supports as _lab_ok,
+                )
+
+                if _lab_ok(s.shape[1], s.shape[2]):
+                    return clahe_lab_fused(s, clip=2.0, tiles=(8, 8))
+            except Exception:  # pragma: no cover
+                pass
+        return _q8(clahe_rgb(s.astype(jnp.float32), clip=2.0, tiles=(8, 8)))
+
+    out = subset_apply(_clahe_sub, out, use_clahe, cap16)
 
     # motion blur p=.1
     bk = jax.vmap(lambda k: jax.random.fold_in(k, 3))(keys)
