@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Round-4 TPU exactness + perf check for the fused-kernel changes:
+
+1. fused planar LAB↔RGB CLAHE (ops/pallas/lab_kernels.py) vs the XLA
+   composition — ≤1 level, ≥99.9% bit-equal;
+2. fused planar resample warp (_warp_shear_fused) vs the XLA two-pass
+   path — ≤0.51 level on interior pixels;
+3. uint8-tiled CLAHE kernels vs the XLA oracle — bit-exact;
+4. stage timings (CLAHE+LAB stage, crop_warp_fused, segmenter, legacy
+   photometrics) and the full bench chain at b128.
+
+Run on the TPU (ambient env): python scripts/perf_check_r4.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_REPO / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+sys.path.insert(0, str(_REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(name, fn, variants, it=8):
+    t0 = time.perf_counter()
+    out = fn(variants[0])
+    leaf = jax.tree.leaves(out)[0]
+    float(np.asarray(jnp.sum(leaf[(0,) * (leaf.ndim - 2)][:2, :2].astype(jnp.float32))))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [fn(variants[i % len(variants)]) for i in range(it)]
+    leaf = jax.tree.leaves(outs[-1])[0]
+    float(np.asarray(jnp.sum(leaf[(0,) * (leaf.ndim - 2)][:2, :2].astype(jnp.float32))))
+    dt = (time.perf_counter() - t0) / it * 1000
+    print(f"{name:40s} {dt:8.2f} ms/batch   [compile {compile_s:.0f}s]",
+          flush=True)
+    return dt
+
+
+def main() -> int:
+    from bench import synth_batch
+    from mmtrs_tpu.ops import augment as A
+    from mmtrs_tpu.ops.clahe import clahe as clahe_xla
+    from mmtrs_tpu.ops.color import lab_to_rgb, rgb_to_lab
+    from mmtrs_tpu.ops.pallas.clahe_kernel import clahe_pallas
+    from mmtrs_tpu.ops.pallas.lab_kernels import clahe_lab_fused
+    from mmtrs_tpu.models.segmenter import SaliencySegmenter
+    from mmtrs_tpu.ops.resize import crop_warp_fused
+    from mmtrs_tpu.ops.warp import hflip3, warp_affine_shear
+    from mmtrs_tpu.preprocess import preprocess_augment_batch
+    from mmtrs_tpu.utils.rng import keys_for_batch
+
+    assert jax.devices()[0].platform == "tpu", "run on the TPU"
+    B = 32
+    x0 = synth_batch(B)
+    xu = jnp.asarray(x0)  # uint8
+    variants_u8 = [jnp.clip(xu.astype(jnp.int32) + i, 0, 255).astype(jnp.uint8)
+                   for i in range(4)]
+    variants = [v.astype(jnp.float32) for v in variants_u8]
+    keys = keys_for_batch(42, np.arange(B), np.ones(B))
+
+    # --- 1. fused LAB path exactness --------------------------------------
+    got = np.asarray(clahe_lab_fused(variants_u8[0]))
+    lab = rgb_to_lab(variants[0])
+    l2 = clahe_xla(lab[..., 0])
+    rgb = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
+    want = np.asarray((jnp.clip(rgb, 0, 255) + 0.5).astype(jnp.int32).astype(jnp.uint8))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    print(f"fused LAB: max diff {diff.max()}  bit-equal {(diff == 0).mean():.5f}",
+          flush=True)
+    assert diff.max() <= 1 and (diff == 0).mean() >= 0.999
+
+    # --- 2. fused warp exactness ------------------------------------------
+    m = jnp.tile(hflip3(512.0)[None], (B, 1, 1))
+    gotw = np.asarray(warp_affine_shear(variants_u8[0], m))  # fused (TPU)
+    # XLA path: fall through _resample_rows_affine by calling the internals
+    from mmtrs_tpu.ops import warp as wp
+
+    a, b, c, d, e, f = wp.invert_affine_params(m)
+    e_safe = jnp.where(jnp.abs(e) < 1e-3, 1e-3, e)
+    ys_idx = jnp.arange(512, dtype=jnp.float32)[None, :]
+    xs_idx = jnp.arange(512, dtype=jnp.float32)[None, :]
+    alpha_h = a - b * d / e_safe
+    beta_h = (b / e_safe)[:, None] * ys_idx + (c - b * f / e_safe)[:, None]
+    tmp = wp._resample_rows_affine(variants[0], alpha_h, beta_h)
+    beta_v = d[:, None] * xs_idx + f[:, None]
+    wantw = np.asarray(
+        jnp.swapaxes(
+            wp._resample_rows_affine(jnp.swapaxes(tmp, 1, 2), e, beta_v), 1, 2
+        )
+    )
+    # interior only (border handling identical, but compare everything)
+    dw = np.abs(gotw - wantw)
+    print(f"fused warp: max diff {dw.max():.4f}  mean {dw.mean():.5f}", flush=True)
+    assert dw.max() <= 0.51
+
+    # --- 3. u8-tiled CLAHE kernels vs oracle -------------------------------
+    l = rgb_to_lab(variants[0])[..., 0]
+    dd = np.abs(np.asarray(clahe_pallas(l)) - np.asarray(clahe_xla(l))).max()
+    print(f"CLAHE kernel (u8 transport) max |diff| vs oracle: {dd}", flush=True)
+    assert dd == 0.0
+
+    # --- 4. stage timings ---------------------------------------------------
+    timeit("clahe_lab_fused (full LAB stage)", clahe_lab_fused, variants_u8)
+
+    def lab_stage_xla(v):
+        lab = rgb_to_lab(v)
+        l2 = clahe_pallas(lab[..., 0])
+        out = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], -1))
+        return (jnp.clip(out, 0, 255) + 0.5).astype(jnp.int32).astype(jnp.uint8)
+
+    timeit("LAB stage, old XLA+kernel path", jax.jit(lab_stage_xla), variants)
+
+    seg = SaliencySegmenter()
+    timeit("segmenter.propose_boxes (luma)", seg.propose_boxes, variants_u8)
+    boxes, _ = seg.propose_boxes(variants_u8[0])
+    mats = A.legacy_geo_mats(keys, 512, 512)
+    timeit(
+        "crop_warp_fused (fused resample)",
+        jax.jit(lambda v: crop_warp_fused(v, boxes, mats, 512)), variants_u8,
+    )
+    timeit(
+        "legacy_photometrics",
+        jax.jit(lambda v: A.legacy_photometrics(v, keys)), variants_u8,
+    )
+
+    # --- 5. full chain b128 -------------------------------------------------
+    B2 = 128
+    x2 = jnp.asarray(synth_batch(B2))
+    v2 = [jnp.clip(x2.astype(jnp.int32) + i, 0, 255).astype(jnp.uint8)
+          for i in range(4)]
+    k2 = keys_for_batch(42, np.arange(B2), np.ones(B2))
+
+    def chain(v):
+        return preprocess_augment_batch(v, k2, out_size=512, do_rotate=True,
+                                        use_pallas=True)
+
+    dt = timeit("FULL CHAIN b128", jax.jit(chain), v2, it=16)
+    print(f"==> {B2 / (dt / 1000):.1f} imgs/s/chip", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
