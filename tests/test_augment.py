@@ -155,3 +155,43 @@ def test_subset_cap_is_sane():
     assert _subset_cap(32, 0.1) < 16  # pays ≤ half the batch at p=.1
     assert _subset_cap(2, 0.1) == 2  # tiny batches degrade to full apply
     assert _subset_cap(32, 1.0) == 32
+
+
+def test_randaug_apply_gate_and_posterize_map():
+    """timm parity pins for the round-4 advisor fixes: each drawn op applies
+    with prob 0.5 (AugmentOp(prob=0.5)), and PosterizeIncreasing keeps
+    4-int(4m) bits — step 16 at m=0 up to 128 (≥1 bit kept) at m→1."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops.augment import _randaug_params
+
+    n = 400
+    keys = jax.vmap(jax.random.key)(jnp.arange(n))
+    geo, phot = jax.vmap(
+        lambda k: _randaug_params(k, 64, 64, magnitude=9.0, mag_std=0.5,
+                                  n_ops=2)
+    )(keys)
+    ident = jnp.eye(3)
+    changed_geo = (jnp.abs(geo - ident).max(axis=(1, 2)) > 1e-6)
+    changed_phot = (
+        phot["invert"] | phot["autoc"]
+        | (phot["post_step"] > 1.0) | (phot["solar_thr"] < 256.0)
+        | (phot["solar_add"] > 0.0) | (phot["color_f"] != 1.0)
+        | (phot["contrast_f"] != 1.0) | (phot["bright_f"] != 1.0)
+        | (phot["sharp_f"] != 1.0)
+    )
+    any_applied = np.asarray(changed_geo | changed_phot)
+    # P(no op applies) = (1 - 14/14·0.5)^2 = 0.25 → applied rate ≈ 0.75.
+    # Without the 0.5 gate the rate would be 1.0 (every draw applies).
+    rate = any_applied.mean()
+    assert 0.64 <= rate <= 0.86, rate
+
+    # posterize steps: powers of two in [16, 128] when drawn (m≈9 → mostly
+    # 128); never exceeds 128 (≥1 bit kept), never below 16 (timm m=0 floor)
+    steps = np.asarray(phot["post_step"])
+    drawn = steps > 1.0
+    assert drawn.any()
+    vals = np.unique(steps[drawn])
+    assert vals.min() >= 16.0 and vals.max() <= 128.0, vals
+    assert all(float(v) in {16.0, 32.0, 64.0, 128.0} for v in vals), vals
