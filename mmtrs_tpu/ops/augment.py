@@ -493,6 +493,11 @@ def legacy_photometrics(
     B, H, W = out.shape[0], out.shape[1], out.shape[2]
     hole = max(1, img_size // 24)
     params, nk, use_clahe = photometric_params_legacy(keys, H, W, hole)
+    # normalize the entry boundary to uint8 for BOTH paths (the reference's
+    # albumentations chain is uint8 at every boundary); the fused kernel
+    # reads 1-byte pixels directly
+    if out.dtype != jnp.uint8:
+        out = _q8(out)
 
     if use_fused is None:
         use_fused = _fused_photometrics_ok(H, W)
@@ -502,7 +507,7 @@ def legacy_photometrics(
         seeds = jax.vmap(
             lambda k: jax.random.bits(k, (), jnp.uint32).astype(jnp.int32)
         )(nk)
-        out = photometrics_fused_pallas(out.astype(jnp.float32), params, seeds, hole)
+        out = photometrics_fused_pallas(out, params, seeds, hole)
     else:
         out = photometrics_pointwise_ref(out, params, nk, hole)
 

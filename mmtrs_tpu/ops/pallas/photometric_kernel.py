@@ -133,8 +133,11 @@ def _photometric_kernel(par_ref, seed_ref, x_ref, out_ref, *, rows, W3, hole):
     br = par_ref[b, P_BRIGHT]
     ct = par_ref[b, P_CONTRAST]
     # RandomBrightnessContrast; the store quantises to uint8 — every stage
-    # boundary is uint8, exactly like the reference's albumentations chain
-    out_ref[0] = _quant_u8(x_ref[0] * (1.0 + ct) + br * 255.0)
+    # boundary is uint8, exactly like the reference's albumentations chain.
+    # x_ref is uint8 (¼ the HBM read traffic of the former f32 input);
+    # the widen must route through int32 in Mosaic.
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)
+    out_ref[0] = _quant_u8(x * (1.0 + ct) + br * 255.0)
 
     @pl.when(par_ref[b, P_USE_HSV] > 0.0)
     def _():
@@ -183,11 +186,13 @@ def supports(H: int, W: int) -> bool:
 def photometrics_fused_pallas(
     imgs: jnp.ndarray, params: jnp.ndarray, seeds: jnp.ndarray, hole: int
 ) -> jnp.ndarray:
-    """imgs [B,H,W,3] f32 0..255, params [B,10] f32, seeds [B] int32 →
-    bc→hsv→noise→dropout in one HBM pass, uint8 out (¼ the write traffic,
-    and the contract the reference's uint8 chain has anyway)."""
+    """imgs [B,H,W,3] **uint8**, params [B,10] f32, seeds [B] int32 →
+    bc→hsv→noise→dropout in one HBM pass, uint8 in AND out (¼ the
+    read+write traffic of the former f32 input, and the contract the
+    reference's uint8 chain has anyway)."""
     B, H, W, C = imgs.shape
     assert C == 3 and supports(H, W)
+    assert imgs.dtype == jnp.uint8, "uint8-staged input required"
     W3 = W * 3
     rows = _row_block(H)
     x = imgs.reshape(B, H, W3)

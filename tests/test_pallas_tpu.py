@@ -111,7 +111,7 @@ def test_photometrics_fused_matches_oracle_exact_paths():
 
     rng = np.random.default_rng(11)
     B, H, W, hole = 6, 128, 128, 9
-    imgs = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    imgs = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)).astype(np.uint8))
     # rows: identity / bc / hsv / dropout / bc+dropout / hsv+dropout
     params = np.zeros((B, 10), np.float32)
     params[1, 0], params[1, 1] = 0.1, -0.12          # bc
@@ -143,7 +143,7 @@ def test_photometrics_fused_noise_statistics():
     from mmtrs_tpu.ops.pallas.photometric_kernel import photometrics_fused_pallas
 
     B, H, W, hole = 2, 256, 256, 9
-    imgs = jnp.full((B, H, W, 3), 128.0, jnp.float32)
+    imgs = jnp.full((B, H, W, 3), 128, jnp.uint8)
     params = np.zeros((B, 10), np.float32)
     params[:, 6] = 3.0  # sigma
     out = np.asarray(
