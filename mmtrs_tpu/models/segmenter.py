@@ -81,17 +81,18 @@ class SaliencySegmenter:
         # per-image quantile via fixed-iteration bisection — jnp.quantile
         # sorts 262k values per image (the pipeline's next-biggest cost after
         # the kernels); 16 halvings pin the threshold to range/2^16 with pure
-        # vector passes. The ESTIMATE runs on a 2×2-mean-pooled map (4× less
-        # HBM traffic per pass; 16 sequential passes made this the segmenter's
-        # main cost) — the quantile of a lightly pooled saliency field tracks
-        # the full-res one to well under the heuristic's own tuning slack
-        # (quantile=0.80 is a knob, not a contract); the MASK below is still
-        # taken at full resolution.
-        h2, w2 = (H // 2) * 2, (W // 2) * 2
-        pooled = sal[:, :h2, :w2].reshape(B, h2 // 2, 2, w2 // 2, 2).mean((2, 4))
-        flat = pooled.reshape(B, -1)
-        lo = jnp.min(flat, axis=1)
-        hi = jnp.max(flat, axis=1)
+        # vector passes. The ESTIMATE runs on a 4×4-mean-pooled bf16 map
+        # (32× less HBM traffic per pass than full-res f32; the 16
+        # sequential passes made this the segmenter's main cost) — the
+        # quantile of a lightly pooled saliency field tracks the full-res
+        # one to well under the heuristic's own tuning slack (quantile=0.80
+        # is a knob, not a contract); the MASK below is still taken at full
+        # resolution in f32.
+        h4, w4 = (H // 4) * 4, (W // 4) * 4
+        pooled = sal[:, :h4, :w4].reshape(B, h4 // 4, 4, w4 // 4, 4).mean((2, 4))
+        flat = pooled.reshape(B, -1).astype(jnp.bfloat16)
+        lo = jnp.min(flat, axis=1).astype(jnp.float32)
+        hi = jnp.max(flat, axis=1).astype(jnp.float32)
         target = 1.0 - self.quantile  # fraction above the threshold
 
         def bisect(carry, _):
