@@ -1,0 +1,55 @@
+#!/bin/bash
+# One-shot measurement runbook for when the axon tunnel returns after an
+# outage (round 4: the tunnel refused device claims for hours after a
+# mid-compile kill — see .claude/skills/verify/SKILL.md).
+#
+# Runs the pending TPU measurements SEQUENTIALLY (1 vCPU; never two JAX
+# processes compiling at once), letting every compile run to completion.
+# Each step appends to reports/tpu_runbook_r4.log; partial progress is
+# preserved if the tunnel drops mid-way.
+#
+# Usage:  bash scripts/tpu_return_runbook.sh          # all steps
+#         bash scripts/tpu_return_runbook.sh bench    # single step
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
+LOG=reports/tpu_runbook_r4.log
+mkdir -p reports
+ONLY="${1:-}"
+
+run() {
+  local name="$1"; shift
+  echo "=== [$name] start $(date -u +%FT%TZ) ===" | tee -a "$LOG"
+  "$@" 2>&1 | tee -a "$LOG"
+  local rc=$?
+  echo "=== [$name] rc=$rc end $(date -u +%FT%TZ) ===" | tee -a "$LOG"
+  return $rc
+}
+
+want() { [ -z "$ONLY" ] || [ "$ONLY" = "$1" ]; }
+
+# 0. recovery probe — cheap, fails fast if the tunnel is still dead
+if want probe; then
+  run probe timeout 300 python -c "import jax,numpy,jax.numpy as jnp; print(float(numpy.asarray(jnp.sum(jnp.ones((4,4))))))" || exit 1
+fi
+
+# 1. exactness + stage timings for every round-4 fused kernel (the
+#    interpret-mode parity tests do not enforce Mosaic lowering rules)
+want perf && run perf_check_r4 timeout 3600 python scripts/perf_check_r4.py
+
+# 2. on-chip Pallas bit-exactness suite (runs on the ambient TPU)
+want pallas && run pytest_pallas timeout 5400 python -m pytest tests/test_pallas_tpu.py tests/test_cv2_goldens.py -q
+
+# 3. headline bench (b128 default, then the b256 retry)
+want bench && run bench timeout 3600 python bench.py
+want bench && run bench_b256 env MMTRS_BENCH_BATCH=256 timeout 3600 python bench.py
+
+# 4. learned-detector sweep: bf16 x resolution x batch
+want detector && run detector timeout 5400 python scripts/bench_detector.py --sweep
+
+# 5. serving latency p50/p95 on-chip
+want serve && run serve timeout 3600 python scripts/bench_serve.py
+
+echo "runbook done $(date -u +%FT%TZ)" | tee -a "$LOG"
