@@ -112,20 +112,33 @@ def main() -> int:
         # transform, segment.py:24-30); the TPU port resizes to
         # cfg.img_size first — the consumer is ONE crop box, so lower
         # detector resolution trades box granularity, not crop contract.
+        # Explicit 7-point set rather than the full 2×3×3 grid: every point
+        # is a FRESH Mask R-CNN compile and the remote compile server runs
+        # 2–8 min per program on this rig — the full grid costs hours of
+        # compile for little extra information. Points: f32@512 batch
+        # scaling (is it batch-amortizable at all?), bf16@512 batch scaling
+        # (the dtype lever), bf16 resolution ladder at the best batch.
+        points = [
+            ("float32", 512, 32),
+            ("bfloat16", 512, 8),
+            ("bfloat16", 512, 16),
+            ("bfloat16", 512, 32),
+            ("bfloat16", 384, 32),
+            ("bfloat16", 256, 32),
+        ]
         sweep = {}
-        for dtype in ("float32", "bfloat16"):
-            for size in (512, 384, 256):
-                for b in (8, 16, 32):
-                    c = DetectorConfig(img_size=size, compute_dtype=dtype)
-                    t0 = time.perf_counter()
-                    try:
-                        _, rate = _bench_config(c, b, args.iters, variants_512)
-                    except Exception as e:  # OOM etc. — record and move on
-                        sweep[f"{dtype}@{size} b{b}"] = f"failed: {e}"[:120]
-                        continue
-                    sweep[f"{dtype}@{size} b{b}"] = round(rate, 2)
-                    print(f"{dtype}@{size} b{b}: {rate:.1f} imgs/s "
-                          f"[{time.perf_counter()-t0:.0f}s]", flush=True)
+        for dtype, size, b in points:
+            c = DetectorConfig(img_size=size, compute_dtype=dtype)
+            t0 = time.perf_counter()
+            try:
+                _, rate = _bench_config(c, b, args.iters, variants_512)
+            except Exception as e:  # OOM etc. — record and move on
+                sweep[f"{dtype}@{size} b{b}"] = f"failed: {e}"[:120]
+                continue
+            sweep[f"{dtype}@{size} b{b}"] = round(rate, 2)
+            print(f"{dtype}@{size} b{b}: {rate:.1f} imgs/s "
+                  f"[{time.perf_counter()-t0:.0f}s]", flush=True)
+        sweep[f"float32@512 b{B}"] = round(base_rate, 2)  # baseline point
         rec["sweep_imgs_per_sec"] = sweep
         best = max(
             (v, k) for k, v in sweep.items() if isinstance(v, (int, float))
