@@ -120,7 +120,9 @@ def _quant_u8(v):
     return (jnp.clip(v, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _photometric_kernel(par_ref, seed_ref, x_ref, out_ref, *, rows, W3, hole):
+def _photometric_kernel(
+    par_ref, seed_ref, x_ref, out_ref, *, rows, W3, hole, with_noise=True
+):
     b = pl.program_id(0)
     i = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, W3), 1)
@@ -145,11 +147,12 @@ def _photometric_kernel(par_ref, seed_ref, x_ref, out_ref, *, rows, W3, hole):
             load(), par_ref[b, P_DH], par_ref[b, P_DS], par_ref[b, P_DV], ch
         ))
 
-    @pl.when(par_ref[b, P_SIGMA] > 0.0)
-    def _():
-        pltpu.prng_seed(seed_ref[b] + i)
-        n = _normal_bits((rows, W3))
-        out_ref[0] = _quant_u8(load() + n * par_ref[b, P_SIGMA])
+    if with_noise:  # pltpu.prng_* has no CPU interpret lowering
+        @pl.when(par_ref[b, P_SIGMA] > 0.0)
+        def _():
+            pltpu.prng_seed(seed_ref[b] + i)
+            n = _normal_bits((rows, W3))
+            out_ref[0] = _quant_u8(load() + n * par_ref[b, P_SIGMA])
 
     @pl.when(par_ref[b, P_DROP] > 0.0)
     def _():
@@ -182,9 +185,10 @@ def supports(H: int, W: int) -> bool:
     return (W * 3) % 128 == 0 and H % 8 == 0
 
 
-@partial(jax.jit, static_argnames=("hole",))
+@partial(jax.jit, static_argnames=("hole", "interpret"))
 def photometrics_fused_pallas(
-    imgs: jnp.ndarray, params: jnp.ndarray, seeds: jnp.ndarray, hole: int
+    imgs: jnp.ndarray, params: jnp.ndarray, seeds: jnp.ndarray, hole: int,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """imgs [B,H,W,3] **uint8**, params [B,10] f32, seeds [B] int32 →
     bc→hsv→noise→dropout in one HBM pass, uint8 in AND out (¼ the
@@ -198,7 +202,8 @@ def photometrics_fused_pallas(
     x = imgs.reshape(B, H, W3)
 
     out = pl.pallas_call(
-        partial(_photometric_kernel, rows=rows, W3=W3, hole=float(hole)),
+        partial(_photometric_kernel, rows=rows, W3=W3, hole=float(hole),
+                with_noise=not interpret),
         out_shape=jax.ShapeDtypeStruct((B, H, W3), jnp.uint8),
         grid=(B, H // rows),
         in_specs=[
@@ -210,5 +215,6 @@ def photometrics_fused_pallas(
             (1, rows, W3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
     )(params, seeds.astype(jnp.int32), x)
     return out.reshape(B, H, W, 3)

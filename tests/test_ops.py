@@ -489,3 +489,41 @@ def test_warp_shear_fused_matches_xla_interpret(monkeypatch):
     outT = wp._resample_rows_affine(tmpT, e, beta_v)
     want = np.asarray(jnp.swapaxes(outT, 1, 2))
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-5)
+
+
+def test_photometrics_fused_uint8_input_matches_oracle_interpret():
+    """The fused pointwise photometric kernel now reads uint8 input
+    directly; its deterministic rows (bc / hsv / dropout — noise PRNG is
+    hardware-only and checked on-chip) must match the XLA oracle on the
+    same uint8 input, in interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops.augment import photometrics_pointwise_ref
+    from mmtrs_tpu.ops.pallas.photometric_kernel import photometrics_fused_pallas
+
+    rng = np.random.default_rng(13)
+    B, H, W, hole = 5, 64, 128, 7
+    imgs = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)).astype(np.uint8))
+    # rows: identity / bc / hsv / dropout / bc+hsv+dropout
+    params = np.zeros((B, 10), np.float32)
+    params[1, 0], params[1, 1] = 0.12, -0.09
+    params[2, 2:6] = (4.0, -6.0, 8.0, 1.0)
+    params[3, 7:10] = (1.0, 20.0, 33.0)
+    params[4, 0], params[4, 1] = -0.07, 0.11
+    params[4, 2:6] = (-3.0, 9.0, -5.0, 1.0)
+    params[4, 7:10] = (1.0, 5.0, 90.0)
+    params = jnp.asarray(params)
+    keys = jax.vmap(jax.random.key)(jnp.arange(B, dtype=jnp.uint32))
+    seeds = jnp.arange(B, dtype=jnp.int32)
+
+    want = np.asarray(photometrics_pointwise_ref(imgs, params, keys, hole))
+    got = np.asarray(
+        photometrics_fused_pallas(imgs, params, seeds, hole, interpret=True)
+    )
+    assert got.dtype == np.uint8
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    # interpret-mode CPU transcendentals straddle the .5 quantiser boundary
+    # slightly more often than on-chip (the TPU test pins 0.9999)
+    assert (diff == 0).mean() >= 0.999, (diff == 0).mean()
