@@ -63,7 +63,24 @@ def main() -> int:
     cap10 = A._subset_cap(B, 0.1)
     print(f"caps: OneOf/3={cap16} noise={cap20} blur/elastic={cap10}")
 
-    timeit("photometrics FULL", jax.jit(lambda v: A.legacy_photometrics(v, keys, 512)), variants)
+    variants_u8 = [v.astype(jnp.uint8) for v in variants]
+    timeit("photometrics FULL", jax.jit(lambda v: A.legacy_photometrics(v, keys, 512)), variants_u8)
+
+    if platform == "tpu":
+        from mmtrs_tpu.ops.pallas.photometric_kernel import photometrics_fused_pallas
+        from mmtrs_tpu.ops.pallas.lab_kernels import clahe_lab_fused
+
+        params, nk, _ = A.photometric_params_legacy(keys, 512, 512, 21)
+        seeds = jax.vmap(
+            lambda k: jax.random.bits(k, (), jnp.uint32).astype(jnp.int32)
+        )(nk)
+        timeit("fused pointwise kernel solo (u8 in/out)",
+               jax.jit(lambda v: photometrics_fused_pallas(v, params, seeds, 21)),
+               variants_u8)
+        cap = A._subset_cap(B, 0.5 / 3.0)
+        timeit(f"clahe_lab_fused sub[{cap}] (u8 planar)",
+               jax.jit(lambda v: clahe_lab_fused(v[:cap], clip=2.0, tiles=(8, 8))),
+               variants_u8)
 
     # plumbing overhead: subset_apply with an identity op, one gated stage
     on = jnp.arange(B) < (B // 6)
