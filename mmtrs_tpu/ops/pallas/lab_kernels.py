@@ -7,13 +7,15 @@ elementwise passes:
 
     interleaved u8 RGB
       → (XLA) one u8 transpose to planes r,g,b
-      → kernel A: gamma-decode + XYZ + f_lab per plane → fx,fy,fz f32
-        planes + quantized-L u8 plane      (transcendentals run ONCE)
+      → kernel A: gamma-decode + XYZ + f_lab per plane → (fx−fy),(fz−fy)
+        i16 fixed-point planes + quantized-L u8 plane (transcendentals run
+        ONCE; fy cancels in the backward identity so only the two deltas
+        travel — 4 B/px of inter-kernel traffic instead of 24)
       → (XLA) u8 tile transpose → existing CLAHE hist/apply kernels
         (mmtrs_tpu.ops.pallas.clahe_kernel, unchanged + exactness-tested)
       → kernel B: ΔfY identity — a=500(fx−fy), b=200(fy−fz) are UNCHANGED
-        by CLAHE, so fx'=fx+Δ, fy'=fy+Δ=f(L'), fz'=fz+Δ — cube/linear
-        inverse + XYZ→RGB + gamma-encode → r',g',b' u8 planes
+        by CLAHE, so fx'=fy'+(fx−fy), fy'=f(L'), fz'=fy'+(fz−fy) —
+        cube/linear inverse + XYZ→RGB + gamma-encode → r',g',b' u8 planes
       → (XLA) one u8 interleave back to [B,H,W,3].
 
 Planar layout means every kernel is pure elementwise [rows, W] work: no
@@ -23,9 +25,12 @@ work, and every HBM transpose moves 1-byte pixels.
 Numerics: pow/cbrt are written as exp/log compositions (Mosaic has no
 direct pow lowering); quantization is round-half-up like the rest of the
 uint8-staged chain. Parity with the XLA composition
-(rgb_to_lab → clahe → lab_to_rgb → quantize) is ≤1 level with ≥99.9%
-bit-equality (f32 exp/log ULP straddles at the quantizer) — pinned by
-tests/test_pallas_tpu.py on-chip and interpret-mode on CPU.
+(rgb_to_lab → clahe → lab_to_rgb → quantize) is ≤1 level with ≥99.5%
+bit-equality — f32 exp/log ULP straddles at the quantizer plus ~0.3%
+single-level flips from the i16 delta transport (step 2^-15 → ≤~0.02
+output levels of perturbation, visible only within that distance of a
+.5 rounding boundary) — pinned by tests/test_pallas_tpu.py on-chip and
+interpret-mode on CPU.
 
 Reference contract: normalise.py:10-16 (CLAHE on the LAB L channel of a
 uint8 image, cv2 conventions).
@@ -75,7 +80,26 @@ def _q_u8(v):
     return (jnp.clip(v, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _fwd_kernel(r_ref, g_ref, b_ref, fx_ref, fy_ref, fz_ref, lq_ref):
+# Inter-kernel transport: the backward pass only ever uses fx+d and fz+d
+# with d = fy' − fy, i.e. fx' = fy' + (fx−fy) and fz' = fy' + (fz−fy) — fy
+# itself CANCELS. So the forward kernel emits just the two deltas, in i16
+# fixed point (|fx−fy| ≤ 0.862 < 1; step 2^-15 ≈ 3e-5 → ≪ 0.5 output
+# level), cutting the inter-kernel HBM traffic from three f32 planes
+# (24 B/px round-trip) to two i16 planes (4 B/px) plus the u8 L plane.
+_DELTA_SCALE = 32768.0
+
+
+def _q_i16(v):
+    return jnp.clip(
+        jnp.floor(v * _DELTA_SCALE + 0.5), -32767.0, 32767.0
+    ).astype(jnp.int16)
+
+
+def _i16f(ref):
+    return ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / _DELTA_SCALE)
+
+
+def _fwd_kernel(r_ref, g_ref, b_ref, dx_ref, dz_ref, lq_ref):
     r = _gamma_decode(_u8f(r_ref) / 255.0)
     g = _gamma_decode(_u8f(g_ref) / 255.0)
     b = _gamma_decode(_u8f(b_ref) / 255.0)
@@ -85,16 +109,15 @@ def _fwd_kernel(r_ref, g_ref, b_ref, fx_ref, fy_ref, fz_ref, lq_ref):
     xn, yn, zn = X / _W_X, Y / _W_Y, Z / _W_Z
     fx, fy, fz = _f_lab(xn), _f_lab(yn), _f_lab(zn)
     L = jnp.where(yn > _LAB_DELTA, 116.0 * fy - 16.0, 903.3 * yn)
-    fx_ref[...] = fx
-    fy_ref[...] = fy
-    fz_ref[...] = fz
+    dx_ref[...] = _q_i16(fx - fy)
+    dz_ref[...] = _q_i16(fz - fy)
     lq_ref[...] = _q_u8(L * (255.0 / 100.0))
 
 
-def _bwd_kernel(l2_ref, fx_ref, fy_ref, fz_ref, r_ref, g_ref, b_ref):
+def _bwd_kernel(l2_ref, dx_ref, dz_ref, r_ref, g_ref, b_ref):
     fyp = (l2_ref[...] * (100.0 / 255.0) + 16.0) / 116.0
-    d = fyp - fy_ref[...]
-    fx, fz = fx_ref[...] + d, fz_ref[...] + d
+    fx = fyp + _i16f(dx_ref)
+    fz = fyp + _i16f(dz_ref)
 
     def inv_f(f):
         t3 = f * f * f
@@ -112,15 +135,17 @@ def _bwd_kernel(l2_ref, fx_ref, fy_ref, fz_ref, r_ref, g_ref, b_ref):
 
 
 def _plane_rows(H: int) -> int:
-    for rows in range(min(128, H // 8 * 8), 7, -8):
+    # 16-aligned: the i16 delta planes need 16-row sublane tiles (f32 needs
+    # 8, u8 is masked fine at 16). supports() guarantees existence (16 | H).
+    for rows in range(min(128, H // 16 * 16), 15, -16):
         if H % rows == 0:
             return rows
-    raise ValueError(f"no 8-aligned row block for H={H}")
+    raise ValueError(f"no 16-aligned row block for H={H}")
 
 
 def supports(H: int, W: int, tiles=(8, 8)) -> bool:
     return (
-        W % 128 == 0 and H % 8 == 0 and H % tiles[0] == 0 and W % tiles[1] == 0
+        W % 128 == 0 and H % 16 == 0 and H % tiles[0] == 0 and W % tiles[1] == 0
     )
 
 
@@ -160,16 +185,16 @@ def clahe_lab_fused(
     xp = xq.transpose(0, 3, 1, 2)  # ONE u8 transpose to planes
     r, g, b = xp[:, 0], xp[:, 1], xp[:, 2]
 
-    fx, fy, fz, lq = _plane_call(
+    dx, dz, lq = _plane_call(
         _fwd_kernel, (r, g, b),
-        (jnp.float32, jnp.float32, jnp.float32, jnp.uint8),
+        (jnp.int16, jnp.int16, jnp.uint8),
         H, W, B, interpret,
     )
     # existing exactness-tested CLAHE kernels (u8-tiled transport inside)
     l2 = clahe_pallas(lq.astype(jnp.float32), clip=clip, tiles=tiles,
                       interpret=interpret)
     r2, g2, b2 = _plane_call(
-        _bwd_kernel, (l2, fx, fy, fz),
+        _bwd_kernel, (l2, dx, dz),
         (jnp.uint8, jnp.uint8, jnp.uint8),
         H, W, B, interpret,
     )

@@ -77,7 +77,9 @@ def main() -> int:
     diff = np.abs(got.astype(int) - want.astype(int))
     print(f"fused LAB: max diff {diff.max()}  bit-equal {(diff == 0).mean():.5f}",
           flush=True)
-    assert diff.max() <= 1 and (diff == 0).mean() >= 0.999
+    # ≥99.5%: i16 delta transport trades ~0.3% single-level boundary flips
+    # for 6× less inter-kernel HBM traffic (see lab_kernels docstring)
+    assert diff.max() <= 1 and (diff == 0).mean() >= 0.995
 
     # --- 2. fused warp exactness ------------------------------------------
     m = jnp.tile(hflip3(512.0)[None], (B, 1, 1))

@@ -413,7 +413,10 @@ def test_clahe_lab_fused_matches_xla_composition_interpret():
     )
     diff = np.abs(got.astype(int) - want.astype(int))
     assert diff.max() <= 1, diff.max()
-    assert (diff == 0).mean() >= 0.999, (diff == 0).mean()
+    # ≥99.5%: the i16 fixed-point delta transport (step 2^-15) nudges
+    # ~0.3% of quantiser-boundary pixels one level vs the f32 composition
+    # — the price of cutting inter-kernel traffic from 24 to 4 B/px
+    assert (diff == 0).mean() >= 0.995, (diff == 0).mean()
 
 
 def test_resample_rows_pallas_matches_xla_interpret():
