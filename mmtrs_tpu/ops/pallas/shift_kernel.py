@@ -150,6 +150,7 @@ def shift_rows_windowed_pallas(
 
 
 def _resample_rows_kernel(off_ref, al_ref, r_ref, img_ref, out_ref, *, W):
+    quant_u8 = out_ref.dtype == jnp.uint8
     x = img_ref[...]
     if x.dtype == jnp.uint8:
         x = x.astype(jnp.int32).astype(jnp.float32)
@@ -178,12 +179,22 @@ def _resample_rows_kernel(off_ref, al_ref, r_ref, img_ref, out_ref, *, W):
     xo = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1).astype(jnp.float32)
     coord = jnp.clip(alpha * xo + r, 0.0, W - 1.0)
     M = jnp.maximum(1.0 - jnp.abs(coord - xs), 0.0)  # [W(src), W(out)]
-    out_ref[...] = jax.lax.dot_general(
+    res = jax.lax.dot_general(
         tmp, M, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if quant_u8:
+        # u8 store (round-half-up) — the uint8-staged chain's quantiser;
+        # used for the inter-pass intermediate of the two-pass warp, where
+        # it quarters the transpose + second-pass-read HBM traffic for
+        # ≤0.5 level of added interpolation error (cv2's own INTER_LINEAR
+        # is 5-bit fixed point — coarser than this)
+        res = (jnp.clip(res, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(
+            jnp.uint8
+        )
+    out_ref[...] = res
 
 
-@partial(jax.jit, static_argnames=("block_rows", "interpret"))
+@partial(jax.jit, static_argnames=("block_rows", "interpret", "out_dtype"))
 def resample_rows_pallas(
     rows: jnp.ndarray,
     off: jnp.ndarray,
@@ -191,12 +202,14 @@ def resample_rows_pallas(
     r: jnp.ndarray,
     block_rows: int = 128,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ):
     """rows [M, W] uint8/f32, off/alpha/r [M] f32 →
     out[m, xo] = shifted(m)[clip(α_m·xo + r_m)] with bilinear taps — the
     exact per-axis semantics of ops.warp._resample_rows_affine, one HBM
     read + one write. Blocks must not span rows with different α/r: the
-    caller aligns block_rows to divide H."""
+    caller aligns block_rows to divide H. out_dtype=uint8 stores the
+    round-half-up quantisation (the chain's uint8-staging quantiser)."""
     M, W = rows.shape
     R = min(block_rows, M)
     while M % R:
@@ -205,7 +218,7 @@ def resample_rows_pallas(
     vec = lambda v: v[:, None]
     return pl.pallas_call(
         partial(_resample_rows_kernel, W=W),
-        out_shape=jax.ShapeDtypeStruct((M, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, W), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -491,7 +491,11 @@ def test_warp_shear_fused_matches_xla_interpret(monkeypatch):
     tmpT = jnp.swapaxes(tmp, 1, 2)
     outT = wp._resample_rows_affine(tmpT, e, beta_v)
     want = np.asarray(jnp.swapaxes(outT, 1, 2))
-    np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-5)
+    # 0.55: the fused path stores the inter-pass intermediate as uint8
+    # (round-half-up, ≤0.5 level) — the XLA oracle keeps f32 between passes
+    np.testing.assert_allclose(got, want, atol=0.55, rtol=1e-5)
+    # interior pixels should still be extremely close in aggregate
+    assert np.abs(got - want).mean() < 0.2
 
 
 def test_photometrics_fused_uint8_input_matches_oracle_interpret():
