@@ -204,7 +204,11 @@ def crop_warp_fused(
         & (sx >= x0[:, None, None] - 0.5) & (sx <= x1[:, None, None] - 0.5)
         & (sy >= y0[:, None, None] - 0.5) & (sy <= y1[:, None, None] - 0.5)
     )
-    return jnp.where(ok[..., None], out, 0.0)
+    # dtype-preserving fill: the fused-TPU warp returns uint8 for uint8
+    # inputs — a 0.0 literal would silently promote the whole image back
+    # to f32 and undo the u8 staging
+    fill = jnp.uint8(0) if out.dtype == jnp.uint8 else 0.0
+    return jnp.where(ok[..., None], out, fill)
 
 
 def mask_to_box(mask: jnp.ndarray) -> jnp.ndarray:

@@ -359,8 +359,14 @@ def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
     repv = lambda v: jnp.broadcast_to(
         v[:, None, None], (B, C, W)
     ).reshape(-1)
+    # dtype-preserving output (cv2.warpAffine contract): uint8 chains get
+    # a u8 store from the kernel — the SAME round-half-up quantiser the
+    # chain applies at its next boundary anyway, minus a full f32
+    # transpose+quantise round-trip
+    out_dt = jnp.uint8 if imgs.dtype == jnp.uint8 else jnp.float32
     outT = resample_rows_pallas(
-        tmpT, off_v, repv(e_safe), repv(r_v), block_rows=_row_block(W)
+        tmpT, off_v, repv(e_safe), repv(r_v), block_rows=_row_block(W),
+        out_dtype=out_dt,
     )
     return outT.reshape(B, C, W, H).transpose(0, 3, 2, 1)  # NHWC
 
@@ -409,7 +415,10 @@ def warp_affine_shear(
         sx = a[:, None, None] * xx + b[:, None, None] * yy + c[:, None, None]
         sy = d[:, None, None] * xx + e[:, None, None] * yy + f[:, None, None]
         inside = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
-        out = jnp.where(inside[..., None], out, cval)
+        fill = (
+            jnp.uint8(int(round(cval))) if out.dtype == jnp.uint8 else cval
+        )
+        out = jnp.where(inside[..., None], out, fill)
     return out
 
 

@@ -497,6 +497,18 @@ def test_warp_shear_fused_matches_xla_interpret(monkeypatch):
     # interior pixels should still be extremely close in aggregate
     assert np.abs(got - want).mean() < 0.2
 
+    # uint8 input → dtype-preserving uint8 output (cv2.warpAffine contract):
+    # the kernel's u8 store must equal the chain's round-half-up quantiser
+    # applied to the f32 fused result, within the 1-level quantiser slack
+    got_u8 = np.asarray(
+        wp._warp_shear_fused(
+            jnp.asarray(imgs.astype(np.uint8)), a, b, c, d, e_safe, f
+        )
+    )
+    assert got_u8.dtype == np.uint8
+    want_u8 = np.floor(np.clip(got, 0.0, 255.0) + 0.5)
+    assert np.abs(got_u8.astype(np.int32) - want_u8.astype(np.int32)).max() <= 1
+
 
 def test_photometrics_fused_uint8_input_matches_oracle_interpret():
     """The fused pointwise photometric kernel now reads uint8 input
