@@ -527,7 +527,8 @@ def legacy_photometrics(
                     return clahe_lab_fused(s, clip=2.0, tiles=(8, 8))
             except Exception:  # pragma: no cover
                 pass
-        return _q8(clahe_rgb(s.astype(jnp.float32), clip=2.0, tiles=(8, 8)))
+        return _q8(clahe_rgb(s.astype(jnp.float32), clip=2.0, tiles=(8, 8),
+                             quant_l=True))
 
     out = subset_apply(_clahe_sub, out, use_clahe, cap16)
 

@@ -140,14 +140,22 @@ def clahe_rgb(
     clip: float = 3.0,
     tiles: tuple[int, int] = (8, 8),
     use_pallas: bool | None = None,
+    quant_l: bool = False,
 ) -> jnp.ndarray:
     """apply_clahe parity (normalise.py:10-16): RGB→LAB, CLAHE on L, back.
 
     The reference chain runs on uint8 (cv2 quantizes L,a,b between steps);
     LAB is rounded here to match that data path — without it, sub-level L
     differences land in different histogram bins and the clipped LUT
-    amplifies them (real-cv2 goldens showed p99≈9 levels unquantized)."""
+    amplifies them (real-cv2 goldens showed p99≈9 levels unquantized).
+
+    ``quant_l=True`` additionally quantizes the CLAHE OUTPUT L (round-half-
+    up) — cv2's CLAHE stores saturate_cast<uchar>, so this is the exact
+    reference semantics and the oracle for the fused u8 TPU path; the f32
+    default keeps the interpolated float for the historical goldens."""
     lab = jnp.round(rgb_to_lab(imgs))
     l2 = clahe_dispatch(lab[..., 0], clip=clip, tiles=tiles, use_pallas=use_pallas)
+    if quant_l:
+        l2 = jnp.floor(jnp.clip(l2, 0.0, 255.0) + 0.5)
     lab = lab.at[..., 0].set(l2)
     return lab_to_rgb(lab)

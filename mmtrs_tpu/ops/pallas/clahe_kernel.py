@@ -146,15 +146,26 @@ def _apply_kernel(pix_ref, lut_ref, wq_ref, out_ref, *, th, tw, ty, tx):
 
         sel_j = 0 if j == 0 else (2 if j == tx - 1 else 1)
         wq = wq_ref[sel_i, sel_j]  # [9, area] — exact k/tile fractions
-        out_ref[0, j, :, :] = jnp.sum(vals * wq, axis=0, keepdims=True)
+        res = jnp.sum(vals * wq, axis=0, keepdims=True)
+        if out_ref.dtype == jnp.uint8:
+            # cv2's CLAHE returns uint8 L (clahe.cpp stores saturate_cast
+            # <uchar> of the interpolated value) — the u8 store IS the
+            # reference semantics, and ships 1 byte/px to the next stage
+            res = (jnp.clip(res, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(
+                jnp.uint8
+            )
+        out_ref[0, j, :, :] = res
 
 
-@partial(jax.jit, static_argnames=("clip", "tiles", "interpret"))
+@partial(jax.jit, static_argnames=("clip", "tiles", "interpret", "out_dtype"))
 def clahe_pallas(
     l: jnp.ndarray, clip: float = 3.0, tiles: tuple[int, int] = (8, 8),
-    interpret: bool = False,
+    interpret: bool = False, out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Pallas CLAHE on [B, H, W] float32 L-channel (0..255)."""
+    """Pallas CLAHE on [B, H, W] L-channel (0..255, f32 or uint8 input).
+    out_dtype=uint8 stores cv2's saturate_cast<uchar> semantics (CLAHE's
+    actual reference contract); f32 default keeps the interpolated float
+    for oracles/tests."""
     B, H, W = l.shape
     ty, tx = tiles
     assert H % ty == 0 and W % tx == 0
@@ -165,7 +176,10 @@ def clahe_pallas(
     # uint8 transport: the tile transpose is a strided relayout whose cost
     # scales with bytes — L quantizes to 8 bits anyway, so ship 1 byte/px
     # through HBM and widen to int32 inside the kernels (round-4 lever)
-    pix = jnp.clip(jnp.round(l), 0, N_BINS - 1).astype(jnp.uint8)
+    pix = (
+        l if l.dtype == jnp.uint8
+        else jnp.clip(jnp.round(l), 0, N_BINS - 1).astype(jnp.uint8)
+    )
     # b (ty th) (tx tw) -> b (ty tx) 1 (th tw)
     tiled = (
         pix.reshape(B, ty, th, tx, tw)
@@ -192,7 +206,7 @@ def clahe_pallas(
 
     out_tiled = pl.pallas_call(
         partial(_apply_kernel, th=th, tw=tw, ty=ty, tx=tx),
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, area), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, area), out_dtype),
         grid=(B, ty),
         in_specs=[
             pl.BlockSpec(

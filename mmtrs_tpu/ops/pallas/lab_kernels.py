@@ -115,7 +115,8 @@ def _fwd_kernel(r_ref, g_ref, b_ref, dx_ref, dz_ref, lq_ref):
 
 
 def _bwd_kernel(l2_ref, dx_ref, dz_ref, r_ref, g_ref, b_ref):
-    fyp = (l2_ref[...] * (100.0 / 255.0) + 16.0) / 116.0
+    # l2 arrives as uint8 — cv2's CLAHE output dtype (saturate_cast<uchar>)
+    fyp = (_u8f(l2_ref) * (100.0 / 255.0) + 16.0) / 116.0
     fx = fyp + _i16f(dx_ref)
     fz = fyp + _i16f(dz_ref)
 
@@ -190,9 +191,10 @@ def clahe_lab_fused(
         (jnp.int16, jnp.int16, jnp.uint8),
         H, W, B, interpret,
     )
-    # existing exactness-tested CLAHE kernels (u8-tiled transport inside)
-    l2 = clahe_pallas(lq.astype(jnp.float32), clip=clip, tiles=tiles,
-                      interpret=interpret)
+    # existing exactness-tested CLAHE kernels — u8 in AND u8 out (cv2's
+    # CLAHE contract; also 1 byte/px through the tile transposes)
+    l2 = clahe_pallas(lq, clip=clip, tiles=tiles, interpret=interpret,
+                      out_dtype=jnp.uint8)
     r2, g2, b2 = _plane_call(
         _bwd_kernel, (l2, dx, dz),
         (jnp.uint8, jnp.uint8, jnp.uint8),

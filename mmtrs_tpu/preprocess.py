@@ -61,6 +61,9 @@ def _clahe_lab_stage(imgs, clahe_clip, tiles, use_pallas):
     lab = rgb_to_lab(x)
     fn = _clahe_fast if (use_pallas and _clahe_fast is not None) else clahe
     l2 = fn(lab[..., 0], clip=clahe_clip, tiles=tiles)
+    # quantize the CLAHE output L like cv2 does (saturate_cast<uchar>) —
+    # keeps this oracle path bit-comparable with the fused u8 kernels
+    l2 = jnp.floor(jnp.clip(l2, 0.0, 255.0) + 0.5)
     x = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
     return (jnp.clip(x, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
 

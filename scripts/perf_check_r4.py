@@ -72,6 +72,7 @@ def main() -> int:
     got = np.asarray(clahe_lab_fused(variants_u8[0]))
     lab = rgb_to_lab(variants[0])
     l2 = clahe_xla(lab[..., 0])
+    l2 = jnp.floor(jnp.clip(l2, 0.0, 255.0) + 0.5)  # cv2 u8-L contract
     rgb = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
     want = np.asarray((jnp.clip(rgb, 0, 255) + 0.5).astype(jnp.int32).astype(jnp.uint8))
     diff = np.abs(got.astype(int) - want.astype(int))

@@ -407,6 +407,9 @@ def test_clahe_lab_fused_matches_xla_composition_interpret():
 
     lab = rgb_to_lab(jnp.asarray(imgs, jnp.float32))
     l2 = clahe(lab[..., 0])
+    # cv2 CLAHE returns uint8 L (saturate_cast<uchar>) — both the fused
+    # path and the production XLA stage quantize here
+    l2 = jnp.floor(jnp.clip(l2, 0.0, 255.0) + 0.5)
     rgb = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
     want = np.asarray(
         (jnp.clip(rgb, 0, 255) + 0.5).astype(jnp.int32).astype(jnp.uint8)

@@ -183,4 +183,11 @@ def test_legacy_photometrics_fused_vs_ref_wiring():
     assert a.dtype == np.uint8 and b.dtype == np.uint8
     quiet = sigma == 0.0
     assert quiet.any()
-    np.testing.assert_array_equal(a[quiet], b[quiet])
+    # wiring check, not an exactness check (per-kernel exactness is pinned
+    # elsewhere): rows whose CLAHE gate fired route through clahe_lab_fused
+    # on the fused path vs clahe_rgb(quant_l=True) on the oracle path —
+    # equal within the fused-LAB ≤1-level / ≥99.5% contract; all other
+    # quiet rows are bit-shared code
+    diff = np.abs(a[quiet].astype(np.int32) - b[quiet].astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff == 0).mean() >= 0.995, (diff == 0).mean()
