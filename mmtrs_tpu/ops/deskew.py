@@ -122,9 +122,13 @@ def deskew_batch(
         # gather-free 3-shear rotation (see warp.rotate_shear3); the
         # reference rotates about (W/2, H/2) (normalise.py:48-56).
         # dtype-preserving: uint8-staged chains stay uint8 (cv2.warpAffine
-        # likewise returns the input dtype)
-        rot = rotate_shear3(x.astype(jnp.float32), a, center_xy=(W / 2.0, H / 2.0))
-        if imgs.dtype == jnp.uint8:
+        # likewise returns the input dtype). On the TPU Pallas path a u8
+        # input rides u8 through all three shear passes (each pass stores
+        # the chain's round-half-up quantiser — ≤1.5 level total vs the
+        # f32 3-shear, ¼ the HBM traffic); elsewhere the XLA passes return
+        # f32 and the quantise happens once below.
+        rot = rotate_shear3(x, a, center_xy=(W / 2.0, H / 2.0))
+        if imgs.dtype == jnp.uint8 and rot.dtype != jnp.uint8:
             return (jnp.clip(rot, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
         return rot.astype(imgs.dtype)
 

@@ -38,6 +38,8 @@ def _cascade(x, s, W):
 
 def _shift_rows_kernel(off_ref, img_ref, out_ref, *, W):
     x = img_ref[...]  # [R, W]
+    if x.dtype == jnp.uint8:  # widen via int32 (Mosaic u8→f32 routing)
+        x = x.astype(jnp.int32).astype(jnp.float32)
     off = off_ref[...]  # [R, 1] f32
     k = jnp.floor(off)
     f = off - k
@@ -58,13 +60,21 @@ def _shift_rows_kernel(off_ref, img_ref, out_ref, *, W):
     right = jax.lax.broadcast_in_dim(x[:, W - 1], (x.shape[0], W), (0,))
     out = jnp.where(src < 0.0, left, out)
     out = jnp.where(src > W - 1.0, right, out)
+    if out_ref.dtype == jnp.uint8:
+        out = (jnp.clip(out, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(
+            jnp.uint8
+        )
     out_ref[...] = out
 
 
-@partial(jax.jit, static_argnames=("block_rows",))
-def shift_rows_pallas(rows: jnp.ndarray, off: jnp.ndarray, block_rows: int = 256):
-    """rows [M, W] f32, off [M] f32 → out[m, x] = rows[m, x + off[m]]
-    (bilinear frac, replicate border). M must divide by block_rows."""
+@partial(jax.jit, static_argnames=("block_rows", "out_dtype"))
+def shift_rows_pallas(
+    rows: jnp.ndarray, off: jnp.ndarray, block_rows: int = 256, out_dtype=None
+):
+    """rows [M, W] f32/uint8, off [M] f32 → out[m, x] = rows[m, x + off[m]]
+    (bilinear frac, replicate border). M must divide by block_rows.
+    out_dtype defaults to the input dtype (uint8 in → uint8 out with the
+    chain's round-half-up quantiser)."""
     M, W = rows.shape
     R = min(block_rows, M)
     while M % R:
@@ -72,7 +82,9 @@ def shift_rows_pallas(rows: jnp.ndarray, off: jnp.ndarray, block_rows: int = 256
     grid = (M // R,)
     return pl.pallas_call(
         partial(_shift_rows_kernel, W=W),
-        out_shape=jax.ShapeDtypeStruct((M, W), rows.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, W), rows.dtype if out_dtype is None else out_dtype
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
