@@ -422,6 +422,27 @@ def test_clahe_lab_fused_matches_xla_composition_interpret():
     assert (diff == 0).mean() >= 0.995, (diff == 0).mean()
 
 
+def test_clahe_pallas_u8_out_matches_oracle_interpret():
+    """clahe_pallas(out_dtype=uint8) must equal round-half-up of the XLA
+    oracle (cv2's saturate_cast<uchar> CLAHE contract), u8 input accepted
+    directly."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops.clahe import clahe
+    from mmtrs_tpu.ops.pallas.clahe_kernel import clahe_pallas
+
+    rng = np.random.default_rng(17)
+    l_u8 = rng.integers(0, 256, (2, 64, 64)).astype(np.uint8)
+    got = np.asarray(
+        clahe_pallas(jnp.asarray(l_u8), tiles=(4, 4), interpret=True,
+                     out_dtype=jnp.uint8)
+    )
+    want_f = np.asarray(clahe(jnp.asarray(l_u8, jnp.float32), tiles=(4, 4)))
+    want = np.floor(np.clip(want_f, 0.0, 255.0) + 0.5).astype(np.uint8)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
 def test_resample_rows_pallas_matches_xla_interpret():
     """Fused shift+interp-matmul kernel (interpret mode) must reproduce
     _resample_rows_affine per axis on uint8 planar rows."""
