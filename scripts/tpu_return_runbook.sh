@@ -42,9 +42,12 @@ want perf && run perf_check_r4 timeout 3600 python scripts/perf_check_r4.py
 # 2. on-chip Pallas bit-exactness suite (runs on the ambient TPU)
 want pallas && run pytest_pallas timeout 5400 python -m pytest tests/test_pallas_tpu.py tests/test_cv2_goldens.py -q
 
-# 3. headline bench (b128 default, then the b256 retry)
+# 3. headline bench (b128 default, then larger batches — the fused warp
+#    no longer materializes [B,512,512] interp matrices, so the r3 b256
+#    OOM cause is gone)
 want bench && run bench timeout 3600 python bench.py
 want bench && run bench_b256 env MMTRS_BENCH_BATCH=256 timeout 3600 python bench.py
+want bench && run bench_b512 env MMTRS_BENCH_BATCH=512 timeout 3600 python bench.py
 
 # 4. learned-detector sweep: bf16 x resolution x batch
 want detector && run detector timeout 5400 python scripts/bench_detector.py --sweep
