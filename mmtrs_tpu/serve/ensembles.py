@@ -67,21 +67,28 @@ class MMEnsemble:
 
     def predict(self, img: np.ndarray, tab9: list[float] | None) -> float:
         """img: one processed image [H, W, 3] 0..255; tab9: 9 raw features
-        or None (→ scaler means → zero standardized vector, infer_mm.py:75-83)."""
-        probs = []
+        or None (→ scaler means → zero standardized vector, infer_mm.py:75-83).
+
+        Latency structure: the 3 TTA views ride ONE batched apply per fold,
+        all fold dispatches are issued asynchronously, and the [F, 3] logit
+        matrix is fetched ONCE — 1 host↔device sync instead of the naive
+        F·3 = 15 (each sync costs a full RTT on remote-accelerator rigs)."""
+        per_fold, Ts = [], []
         for f in self.folds:
             x = jnp.asarray(img, jnp.float32)[None]
             if x.shape[1] != f["img_size"]:
                 x = resize_bilinear(x, (f["img_size"], f["img_size"]))
             x = normalize_imagenet(x)
+            x3 = jnp.concatenate(
+                [x, x[:, :, ::-1, :], x[:, ::-1, :, :]], axis=0
+            )
             raw = np.asarray(tab9, np.float32) if tab9 is not None else f["mean"]
             t = jnp.asarray((raw - f["mean"]) / f["scale"], jnp.float32)[None]
-            logits = [
-                float(self._apply(f["variables"], v, t)[0])
-                for v in (x, x[:, :, ::-1, :], x[:, ::-1, :, :])
-            ]
-            probs.append(1.0 / (1.0 + np.exp(-np.mean(logits) / f["T"])))
-        return float(np.mean(probs))
+            per_fold.append(self._apply(f["variables"], x3, jnp.tile(t, (3, 1))))
+            Ts.append(f["T"])
+        logits = np.asarray(jnp.stack(per_fold), np.float64)  # [F, 3], 1 fetch
+        probs = 1.0 / (1.0 + np.exp(-logits.mean(axis=1) / np.asarray(Ts)))
+        return float(probs.mean())
 
 
 class MILEnsemble:
@@ -121,7 +128,11 @@ class MILEnsemble:
             imgs = imgs[None]
         bag = make_eval_bag(jnp.asarray(imgs, jnp.float32), self.crop_size)
         bag = normalize_imagenet(bag)[None]  # [1, N, h, w, 3]
-        logits = [float(self._apply(f["variables"], bag)[0]) for f in self.folds]
+        # async dispatch per fold, ONE fetch (see MMEnsemble.predict)
+        logits = np.asarray(
+            jnp.stack([self._apply(f["variables"], bag)[0] for f in self.folds]),
+            np.float64,
+        )
         return float(1.0 / (1.0 + np.exp(-np.mean(logits))))
 
 
