@@ -128,7 +128,9 @@ class PredictService:
         if missing:
             return {"error": f"provide all tabular fields or none; missing: {missing}"}
 
-        proc = self.preprocess(image.astype(np.float32))
+        # ship the upload as-is (uint8 for JPEG/PNG uploads): the chain
+        # accepts uint8 and the H2D transfer moves 1 byte/px instead of 4
+        proc = self.preprocess(np.ascontiguousarray(image))
 
         streams: dict[str, float] = {}
         tab_vec = encode_fields(fields) if use_tab else None
