@@ -80,6 +80,28 @@ class Stacker:
         )
 
 
+def serve_bucket_shape(h: int, w: int, min_edge: int = 512,
+                       max_edge: int = 1024, grain: int = 16) -> tuple[int, int]:
+    """Canonical working shape for an upload: aspect-preserving scale so the
+    min edge is ``min_edge`` (long edge capped at ``max_edge``), then each
+    dim snapped to the nearest multiple of ``grain`` (≤1% aspect distortion).
+
+    Why: under XLA every distinct input shape compiles a fresh program —
+    native-resolution serving (the reference's per-image cv2/torch path has
+    no such cost, pipeline.py:60+) would pay a multi-second compile per
+    novel camera resolution. Bucketing bounds the compile set to ~
+    (max_edge−min_edge)/grain shapes, each compiled once and persistently
+    cached, while keeping ≥512px on the short edge — the same floor the
+    resolution gate enforces (utils.py:20-24)."""
+    s = min_edge / min(h, w)
+    hs, ws = h * s, w * s
+    if max(hs, ws) > max_edge:
+        s *= max_edge / max(hs, ws)
+        hs, ws = h * s, w * s
+    snap = lambda v: max(grain, int(round(v / grain)) * grain)
+    return snap(hs), snap(ws)
+
+
 class PredictService:
     """End-to-end case prediction: preprocess → streams → stack → label."""
 
@@ -92,6 +114,7 @@ class PredictService:
         preprocess_cfg: PreprocessConfig = PreprocessConfig(),
         min_resolution: int = 512,
         legacy_blend: bool = False,
+        bucket_shapes: bool = True,
     ):
         self.mm_predict = mm_predict
         self.mil_predict = mil_predict
@@ -100,12 +123,24 @@ class PredictService:
         self.cfg = preprocess_cfg
         self.min_resolution = min_resolution
         self.legacy_blend = legacy_blend
+        self.bucket_shapes = bucket_shapes
 
     # -- pipeline ------------------------------------------------------------
 
     def preprocess(self, image: np.ndarray) -> np.ndarray:
         from mmtrs_tpu.preprocess import preprocess_numpy
 
+        if self.bucket_shapes:
+            h, w = image.shape[:2]
+            bh, bw = serve_bucket_shape(h, w)
+            if (h, w) != (bh, bw):
+                from PIL import Image
+
+                image = np.asarray(
+                    Image.fromarray(image.astype(np.uint8)).resize(
+                        (bw, bh), Image.BILINEAR
+                    )
+                )
         out, _ = preprocess_numpy(image[None], self.cfg)
         return out[0]
 

@@ -157,3 +157,24 @@ def test_http_ui_page_renders_full_form(http_server):
         "/predict",          # wired to the JSON API
     ):
         assert needle in html, needle
+
+
+def test_serve_bucket_shape_bounds_compile_set():
+    """Shape bucketing: min edge pinned to 512, long edge capped at 1024,
+    dims snapped to multiples of 16 — the TPU-first answer to XLA's
+    compile-per-shape model for native-resolution uploads."""
+    from mmtrs_tpu.serve.service import serve_bucket_shape
+
+    assert serve_bucket_shape(520, 520) == (512, 512)
+    assert serve_bucket_shape(512, 512) == (512, 512)
+    h, w = serve_bucket_shape(768, 1024)
+    assert h == 512 and w % 16 == 0 and abs(w - 1024 * 512 / 768) <= 8
+    # extreme panorama: long-edge cap wins, min edge allowed below 512
+    h, w = serve_bucket_shape(600, 3000)
+    assert w == 1024 and h % 16 == 0 and h <= 512
+    # every bucket dim is 16-aligned and bounded
+    for hh in (512, 519, 700, 1333, 4000):
+        for ww in (512, 613, 997, 2222):
+            bh, bw = serve_bucket_shape(hh, ww)
+            assert bh % 16 == 0 and bw % 16 == 0
+            assert max(bh, bw) <= 1024 + 8
