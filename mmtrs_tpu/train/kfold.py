@@ -221,12 +221,18 @@ class KFoldHardTrainer:
                 # jnp concat: images may be device-resident (run_hard_kfold)
                 imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
             x = self._prep(imgs)
-            l = np.asarray(self._eval_step(state, x))
+            l = self._eval_step(state, x)  # async, stays on device
             if tta:
-                l = 0.5 * (l + np.asarray(self._eval_step(state, x[:, :, ::-1, :])))
-            p = 1 / (1 + np.exp(-l))
-            out.append(p[: len(p) - pad] if pad else p)
-        return np.concatenate(out)
+                l = 0.5 * (l + self._eval_step(state, x[:, :, ::-1, :]))
+            out.append((l, pad))
+        # single device→host fetch after all batches are dispatched
+        host = np.asarray(jnp.concatenate([l for l, _ in out]))
+        chunks, ofs = [], 0
+        for _, pad in out:
+            p = 1 / (1 + np.exp(-host[ofs : ofs + bs]))
+            chunks.append(p[: bs - pad])
+            ofs += bs
+        return np.concatenate(chunks)
 
     def fit_fold(self, images, y, train_idx, val_idx, epochs=None, log=print) -> dict:
         cfg = self.cfg

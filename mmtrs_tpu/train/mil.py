@@ -147,13 +147,20 @@ class MILTrainer:
             else:
                 oid = origin_ids[s : s + bs]
             bags = self._make_eval_bags(imgs, oid)
-            logit = np.asarray(self._eval_step(state, bags))
+            logit = self._eval_step(state, bags)  # async, stays on device
             if tta:
-                logit2 = np.asarray(self._eval_step(state, bags[:, :, :, ::-1, :]))
-                logit = 0.5 * (logit + logit2)
-            p = 1 / (1 + np.exp(-logit))
-            out.append(p[: len(p) - pad] if pad else p)
-        return np.concatenate(out)
+                logit = 0.5 * (
+                    logit + self._eval_step(state, bags[:, :, :, ::-1, :])
+                )
+            out.append((logit, pad))
+        # single device→host fetch after all batches are dispatched
+        host = np.asarray(jnp.concatenate([l for l, _ in out]))
+        chunks, ofs = [], 0
+        for _, pad in out:
+            p = 1 / (1 + np.exp(-host[ofs : ofs + bs]))
+            chunks.append(p[: bs - pad])
+            ofs += bs
+        return np.concatenate(chunks)
 
 
 def run_mil_kfold(

@@ -163,9 +163,13 @@ class MMTrainer:
         return normalize_imagenet(x)
 
     def logits(self, state, images, tab, tta: bool = True) -> np.ndarray:
-        """3-way TTA (none/hflip/vflip) mean logit (trainer _predict :321-345)."""
+        """3-way TTA (none/hflip/vflip) mean logit (trainer _predict :321-345).
+
+        All batch dispatches are issued asynchronously (view-mean stays on
+        device); ONE fetch at the end — per-batch np.asarray would pay a
+        host sync per view per batch (3·⌈N/bs⌉ round-trips)."""
         bs = self.cfg.batch_size
-        out = []
+        out, pads = [], []
         for s in range(0, len(images), bs):
             imgs = images[s : s + bs]
             t = jnp.asarray(tab[s : s + bs], jnp.float32)
@@ -177,10 +181,15 @@ class MMTrainer:
                 t = jnp.concatenate([t, jnp.repeat(t[-1:], pad, 0)])
             x = self._prep(imgs)
             views = [x, x[:, :, ::-1, :], x[:, ::-1, :, :]] if tta else [x]
-            ls = [np.asarray(self._eval_step(state, v, t)) for v in views]
-            l = np.mean(ls, axis=0)
-            out.append(l[: len(l) - pad] if pad else l)
-        return np.concatenate(out)
+            l = sum(self._eval_step(state, v, t) for v in views) / len(views)
+            out.append(l)
+            pads.append(pad)
+        host = np.asarray(jnp.concatenate(out))  # single device→host fetch
+        chunks, ofs = [], 0
+        for pad in pads:
+            chunks.append(host[ofs : ofs + bs - pad])
+            ofs += bs
+        return np.concatenate(chunks)
 
     def fit_fold(self, images, tab_raw, y, p_soft, train_idx, val_idx,
                  epochs=None, log=print) -> dict:
