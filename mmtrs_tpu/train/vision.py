@@ -214,20 +214,28 @@ class VisionTrainer:
                 imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
             x = self._prep_images(imgs, False, 0)
             views = [x, x[:, :, ::-1, :]] if tta else [x]
-            ps = []
-            for v in views:
-                out = self._eval_step_logits(state, v)
-                ps.append(out)
-            p = np.mean(ps, axis=0)
-            probs.append(p[: len(p) - pad] if pad else p)
-        return np.concatenate(probs)
+            # async dispatch; raw logits stay on device, ONE fetch at the end
+            probs.append(
+                (jnp.stack([self._eval_step(state, {"inputs": (v,)})
+                            for v in views]), pad)
+            )
+        host = np.asarray(jnp.concatenate([ls for ls, _ in probs], axis=1))
+        out, ofs = [], 0
+        for _, pad in probs:
+            ls = host[:, ofs : ofs + bs]
+            p = np.mean([self._to_prob(l) for l in ls], axis=0)
+            out.append(p[: bs - pad])
+            ofs += bs
+        return np.concatenate(out)
 
-    def _eval_step_logits(self, state, x) -> np.ndarray:
-        out = np.asarray(self._eval_step(state, {"inputs": (x,)}))
+    def _to_prob(self, out: np.ndarray) -> np.ndarray:
         if self.cfg.task == "hard":
             e = np.exp(out - out.max(axis=-1, keepdims=True))
             return (e / e.sum(-1, keepdims=True))[:, 1]
         return 1.0 / (1.0 + np.exp(-out[..., 0]))
+
+    def _eval_step_logits(self, state, x) -> np.ndarray:
+        return self._to_prob(np.asarray(self._eval_step(state, {"inputs": (x,)})))
 
     def evaluate(self, state: TrainState, data: VisionData, tta: bool = False) -> dict:
         p = self.predict_proba(state, data, tta=tta)
