@@ -67,9 +67,10 @@ def _shift_rows_kernel(off_ref, img_ref, out_ref, *, W):
     out_ref[...] = out
 
 
-@partial(jax.jit, static_argnames=("block_rows", "out_dtype"))
+@partial(jax.jit, static_argnames=("block_rows", "out_dtype", "interpret"))
 def shift_rows_pallas(
-    rows: jnp.ndarray, off: jnp.ndarray, block_rows: int = 256, out_dtype=None
+    rows: jnp.ndarray, off: jnp.ndarray, block_rows: int = 256, out_dtype=None,
+    interpret: bool = False,
 ):
     """rows [M, W] f32/uint8, off [M] f32 → out[m, x] = rows[m, x + off[m]]
     (bilinear frac, replicate border). M must divide by block_rows.
@@ -94,6 +95,7 @@ def shift_rows_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
+        interpret=interpret,
     )(off[:, None], rows)
 
 

@@ -422,6 +422,27 @@ def test_clahe_lab_fused_matches_xla_composition_interpret():
     assert (diff == 0).mean() >= 0.995, (diff == 0).mean()
 
 
+def test_shift_rows_pallas_u8_roundtrip_interpret():
+    """uint8-in/uint8-out row shift (deskew's 3-shear transport) must equal
+    round-half-up of the f32 kernel result."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops.pallas.shift_kernel import shift_rows_pallas
+
+    rng = np.random.default_rng(23)
+    rows = rng.integers(0, 256, (64, 128)).astype(np.uint8)
+    off = jnp.asarray(rng.uniform(-20, 20, 64).astype(np.float32))
+    got = np.asarray(
+        shift_rows_pallas(jnp.asarray(rows), off, interpret=True)
+    )
+    ref = np.asarray(
+        shift_rows_pallas(jnp.asarray(rows, jnp.float32), off, interpret=True)
+    )
+    want = np.floor(np.clip(ref, 0.0, 255.0) + 0.5).astype(np.uint8)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
 def test_clahe_pallas_u8_out_matches_oracle_interpret():
     """clahe_pallas(out_dtype=uint8) must equal round-half-up of the XLA
     oracle (cv2's saturate_cast<uchar> CLAHE contract), u8 input accepted
