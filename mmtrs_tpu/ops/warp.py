@@ -191,6 +191,11 @@ def _shift_rows_frac(img: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
         from mmtrs_tpu.ops.pallas.shift_kernel import shift_rows_pallas
 
         B, H, W, C = img.shape
+        # u8 transport only on full-lane-tile widths; odd (serve-bucketed)
+        # widths keep the f32 path that real-TPU runs have exercised —
+        # conservative until odd-shape u8 blocks are validated on Mosaic
+        if img.dtype == jnp.uint8 and W % 128 != 0:
+            img = img.astype(jnp.float32)
         planar = img.transpose(0, 3, 1, 2).reshape(B * C * H, W)
         off_r = jnp.broadcast_to(off[:, None, :], (B, C, H)).reshape(-1)
         out = shift_rows_pallas(planar, off_r.astype(jnp.float32))
@@ -339,6 +344,12 @@ def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
     r_h = jnp.mean(beta_h, axis=1)                   # [B]
     off_h = beta_h - r_h[:, None]                    # [B, H]
 
+    # u8 staging only where the row blocks land on native 32-row u8 tiles
+    # (the production 512² geometry); other shapes keep f32 intermediates —
+    # conservative until odd-block u8 stores are validated on real Mosaic
+    u8_ok = _row_block(H) % 32 == 0 and _row_block(W) % 32 == 0
+    mid_dt = jnp.uint8 if u8_ok else jnp.float32
+
     planar = imgs.transpose(0, 3, 1, 2).reshape(B * C * H, W)
     rep = lambda v: jnp.broadcast_to(
         v[:, None, None], (B, C, H)
@@ -346,8 +357,8 @@ def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
     off_r = jnp.broadcast_to(off_h[:, None, :], (B, C, H)).reshape(-1)
     tmp = resample_rows_pallas(
         planar, off_r, rep(alpha_h), rep(r_h), block_rows=_row_block(H),
-        out_dtype=jnp.uint8,
-    )  # [B·C·H, W] u8
+        out_dtype=mid_dt,
+    )  # [B·C·H, W]
 
     # vertical pass: columns become rows
     tmpT = tmp.reshape(B, C, H, W).transpose(0, 1, 3, 2).reshape(B * C * W, H)
@@ -363,7 +374,7 @@ def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
     # a u8 store from the kernel — the SAME round-half-up quantiser the
     # chain applies at its next boundary anyway, minus a full f32
     # transpose+quantise round-trip
-    out_dt = jnp.uint8 if imgs.dtype == jnp.uint8 else jnp.float32
+    out_dt = jnp.uint8 if (imgs.dtype == jnp.uint8 and u8_ok) else jnp.float32
     outT = resample_rows_pallas(
         tmpT, off_v, repv(e_safe), repv(r_v), block_rows=_row_block(W),
         out_dtype=out_dt,
