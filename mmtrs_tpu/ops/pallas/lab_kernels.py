@@ -145,9 +145,17 @@ def _plane_rows(H: int) -> int:
 
 
 def supports(H: int, W: int, tiles=(8, 8)) -> bool:
-    return (
+    if not (
         W % 128 == 0 and H % 16 == 0 and H % tiles[0] == 0 and W % tiles[1] == 0
-    )
+    ):
+        return False
+    # u8/i16 plane stores are only validated on native 32-row tile blocks
+    # (the production 512² geometry); odd serve-bucketed heights fall back
+    # to the XLA composition
+    try:
+        return _plane_rows(H) % 32 == 0
+    except ValueError:  # pragma: no cover
+        return False
 
 
 def _plane_call(kernel, ins, out_dtypes, H, W, B, interpret=False):
