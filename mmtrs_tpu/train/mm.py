@@ -148,7 +148,9 @@ class MMTrainer:
         :72-93) before resize+normalize. Eval batches go through ``_prep``
         and are never augmented. Keys derive from (seed, dataset row, epoch)
         so runs are deterministic and epochs see different draws."""
-        x = jnp.asarray(imgs, jnp.float32)
+        # keep uint8 INTO the augmenter: the fused Pallas augment paths read
+        # 1-byte pixels (resize/normalize below promote to f32 regardless)
+        x = jnp.asarray(imgs)
         if self.cfg.train_aug != "none":
             from mmtrs_tpu.ops.augment import augment_batch
             from mmtrs_tpu.utils.rng import keys_for_batch
@@ -158,6 +160,7 @@ class MMTrainer:
             )
             x = augment_batch(x, keys, self.cfg.train_aug,
                               img_size=int(x.shape[1]))
+        x = x.astype(jnp.float32)
         if x.shape[1] != self.cfg.img_size:
             x = resize_bilinear(x, (self.cfg.img_size, self.cfg.img_size))
         return normalize_imagenet(x)

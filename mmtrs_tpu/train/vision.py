@@ -110,7 +110,9 @@ class VisionTrainer:
 
     def _prep_images(self, imgs: np.ndarray, train: bool, seed: int,
                      origin_ids=None, aug_idxs=None):
-        x = jnp.asarray(imgs).astype(jnp.float32)
+        # keep uint8 INTO the augmenter (fused u8 Pallas paths); resize/
+        # normalize below promote to f32 regardless
+        x = jnp.asarray(imgs)
         if train and self.aug_preset != "none":
             from mmtrs_tpu.ops.augment import augment_batch
 
@@ -121,6 +123,7 @@ class VisionTrainer:
             )
             x = augment_batch(x, keys, self.aug_preset,
                               aug_idx=aug_idxs, img_size=x.shape[1])
+        x = x.astype(jnp.float32)
         if x.shape[1] != self.cfg.img_size:
             x = resize_bilinear(x, (self.cfg.img_size, self.cfg.img_size))
         return normalize_imagenet(x)
