@@ -90,8 +90,10 @@ class MILTrainer:
     def _make_train_bags(self, imgs: np.ndarray, seed: int, origin_ids) -> jnp.ndarray:
         cfg = self.cfg
         keys = keys_for_batch(seed, origin_ids, np.zeros(len(imgs)))
+        # u8 source stays u8 into the crop einsums (the widen fuses into
+        # the MXU read — 1 byte/px from HBM instead of 4)
         bags = make_bags(
-            jnp.asarray(imgs, jnp.float32), keys, cfg.bag_size, cfg.img_size,
+            jnp.asarray(imgs), keys, cfg.bag_size, cfg.img_size,
             cfg.crop_scale,
         )
         return normalize_imagenet(bags)
@@ -101,7 +103,7 @@ class MILTrainer:
         cfg = self.cfg
         keys = keys_for_batch(999, origin_ids, np.zeros(len(imgs)))
         bags = make_bags(
-            jnp.asarray(imgs, jnp.float32), keys, cfg.bag_size, cfg.img_size,
+            jnp.asarray(imgs), keys, cfg.bag_size, cfg.img_size,
             cfg.crop_scale, hflip_p=0.0,
         )
         return normalize_imagenet(bags)
