@@ -206,10 +206,11 @@ class KFoldHardTrainer:
             self._eval_step = data_parallel_eval_jit(eval_fn, self.mesh)
 
     def _prep(self, imgs):
-        x = jnp.asarray(imgs, jnp.float32)
+        # u8 stays u8 into the resize matmuls (widen fuses into the read)
+        x = jnp.asarray(imgs)
         if x.shape[1] != self.cfg.img_size:
             x = resize_bilinear(x, (self.cfg.img_size, self.cfg.img_size))
-        return normalize_imagenet(x)
+        return normalize_imagenet(x.astype(jnp.float32))
 
     def predict_proba(self, state, images, tta: bool = True) -> np.ndarray:
         bs = self.cfg.batch_size

@@ -137,10 +137,11 @@ class MMTrainer:
         return state
 
     def _prep(self, imgs: np.ndarray) -> jnp.ndarray:
-        x = jnp.asarray(imgs, jnp.float32)
+        # u8 stays u8 into the resize matmuls (widen fuses into the read)
+        x = jnp.asarray(imgs)
         if x.shape[1] != self.cfg.img_size:
             x = resize_bilinear(x, (self.cfg.img_size, self.cfg.img_size))
-        return normalize_imagenet(x)
+        return normalize_imagenet(x.astype(jnp.float32))
 
     def _prep_train(self, imgs, sel: np.ndarray, epoch: int) -> jnp.ndarray:
         """Train-batch prep: per-step on-device augmentation (cfg.train_aug,
