@@ -126,7 +126,7 @@ class MILEnsemble:
         infer_mil.py:116-149); accepts a single [H, W, 3] too."""
         if imgs.ndim == 3:
             imgs = imgs[None]
-        bag = make_eval_bag(jnp.asarray(imgs, jnp.float32), self.crop_size)
+        bag = make_eval_bag(jnp.asarray(imgs), self.crop_size)  # u8 ok
         bag = normalize_imagenet(bag)[None]  # [1, N, h, w, 3]
         # async dispatch per fold, ONE fetch (see MMEnsemble.predict)
         logits = np.asarray(
