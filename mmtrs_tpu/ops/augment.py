@@ -200,7 +200,9 @@ def elastic(imgs, keys, alpha: float = 10.0, sigma: float = 5.0):
     ys = jnp.arange(H, dtype=jnp.float32)[None, :, None] + dy
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, :] + dx
     inside = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
-    return jnp.where(inside[..., None], out, 0.0)
+    # dtype-preserving constant border (u8 chains stay u8 on TPU)
+    fill = jnp.uint8(0) if out.dtype == jnp.uint8 else 0.0
+    return jnp.where(inside[..., None], out, fill)
 
 
 def coarse_dropout(imgs, keys, hole: int):
@@ -540,11 +542,11 @@ def legacy_photometrics(
         out, blur_on, _subset_cap(B, 0.1), bk,
     )
 
-    # elastic p=.1
+    # elastic p=.1 — u8 stays u8 through the windowed Pallas passes
     ek = jax.vmap(lambda k: jax.random.fold_in(k, 4))(keys)
     el_on = jax.vmap(lambda k: _gate(jax.random.fold_in(k, 0), 0.1))(ek)
     out = subset_apply(
-        lambda s, k: _q8(elastic(s.astype(jnp.float32), k, alpha=10.0, sigma=5.0)),
+        lambda s, k: _q8(elastic(s, k, alpha=10.0, sigma=5.0)),
         out, el_on, _subset_cap(B, 0.1), ek,
     )
     return out

@@ -110,6 +110,8 @@ def _shift_rows_pp_kernel(img_ref, off_ref, out_ref, *, W, max_shift):
     shifts (tests/test_pallas_tpu.py caught 60% mismatch). The 2m+2 tap
     window is the correct gather-free form."""
     x = img_ref[...]  # [R, W]
+    if x.dtype == jnp.uint8:  # widen via int32 (Mosaic u8→f32 routing)
+        x = x.astype(jnp.int32).astype(jnp.float32)
     off = off_ref[...]  # [R, W]
     xx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1).astype(jnp.float32)
     src = jnp.clip(xx + off, 0.0, W - 1.0)
@@ -127,21 +129,30 @@ def _shift_rows_pp_kernel(img_ref, off_ref, out_ref, *, W, max_shift):
     right = jax.lax.broadcast_in_dim(x[:, W - 1], x.shape, (0,))
     out = jnp.where(src <= 0.0, left, out)
     out = jnp.where(src >= W - 1.0, right, out)
+    if out_ref.dtype == jnp.uint8:
+        out = (jnp.clip(out, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(
+            jnp.uint8
+        )
     out_ref[...] = out
 
 
-@partial(jax.jit, static_argnames=("max_shift", "block_rows"))
+@partial(jax.jit, static_argnames=("max_shift", "block_rows", "out_dtype"))
 def shift_rows_windowed_pallas(
-    rows: jnp.ndarray, off: jnp.ndarray, max_shift: int, block_rows: int = 256
+    rows: jnp.ndarray, off: jnp.ndarray, max_shift: int, block_rows: int = 256,
+    out_dtype=None,
 ):
-    """rows [M, W], off [M, W] (|off| ≤ max_shift) → per-pixel shifted."""
+    """rows [M, W] f32/uint8, off [M, W] (|off| ≤ max_shift) → per-pixel
+    shifted; out_dtype defaults to the input dtype (uint8 → round-half-up
+    u8 store)."""
     M, W = rows.shape
     R = min(block_rows, M)
     while M % R:
         R //= 2
     return pl.pallas_call(
         partial(_shift_rows_pp_kernel, W=W, max_shift=int(max_shift)),
-        out_shape=jax.ShapeDtypeStruct((M, W), rows.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, W), rows.dtype if out_dtype is None else out_dtype
+        ),
         grid=(M // R,),
         in_specs=[
             pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),

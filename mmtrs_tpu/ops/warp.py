@@ -256,6 +256,9 @@ def shift_axis_windowed(
     if _pallas_shift_available():
         from mmtrs_tpu.ops.pallas.shift_kernel import shift_rows_windowed_pallas
 
+        # u8 transport only on full-lane-tile widths (see _shift_rows_frac)
+        if imgs.dtype == jnp.uint8 and W % 128 != 0:
+            imgs = imgs.astype(jnp.float32)
         planar = imgs.transpose(0, 3, 1, 2).reshape(B * C * H, W)
         off_r = jnp.broadcast_to(off[:, None, :, :], (B, C, H, W)).reshape(-1, W)
         out = shift_rows_windowed_pallas(
