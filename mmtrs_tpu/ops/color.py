@@ -51,13 +51,30 @@ def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
 # a bit-hack+Halley cube root; after the round-3 uint8 staging the chain is
 # memory-lean enough that the VPU pow lowering WINS (measured b128: exact
 # 9.5 ms vs poly 12.8 ms LAB round-trip — the deep Horner/Halley dependency
-# chains serialize on the VPU while exp/log pipelines). Keep the exact
-# forms; they are also bit-closer to cv2.
+# chains serialize on the VPU while exp/log pipelines).
+#
+# Round 4: these are the ONE set of compositions shared by the XLA path and
+# the Pallas LAB kernels (ops/pallas/lab_kernels.py imports them). The
+# fused-LAB on-chip parity gap (perf_check_r4: max 6 levels, 98.95%
+# bit-equal) was entirely XLA's dedicated cbrt/pow lowerings ULP-differing
+# from the kernels' exp/log compositions at the L quantizer, amplified
+# through the CLAHE LUT — measured by scripts/diag_lab_r4.py: Mosaic and
+# XLA:TPU evaluate the SAME exp/log composition bit-identically for L
+# (stage 1b: 0 mismatches), while XLA cbrt-vs-exp/log reproduces the whole
+# gap (stage 1c). One composition everywhere ⇒ the quantized L plane is
+# bit-equal across the fused kernels, the XLA fallback chain, and every
+# platform.
 # ---------------------------------------------------------------------------
 
 
+def _pow_el(x, p):
+    """x**p for x>0 via exp/log — Mosaic-lowerable AND bit-stable across
+    XLA:TPU/Mosaic (diag_lab_r4 stage 1b); caller guards the domain."""
+    return jnp.exp(p * jnp.log(jnp.maximum(x, 1e-12)))
+
+
 def _cbrt_fast(x):
-    return jnp.cbrt(jnp.maximum(x, 0.0))
+    return _pow_el(jnp.maximum(x, 0.0), 1.0 / 3.0)
 
 
 def _f_lab(t):
@@ -66,12 +83,14 @@ def _f_lab(t):
 
 def _srgb_to_linear(x):
     xc = jnp.clip(x, 0.0, 1.0)
-    return jnp.where(xc <= 0.04045, xc / 12.92, ((xc + 0.055) / 1.055) ** 2.4)
+    return jnp.where(xc <= 0.04045, xc / 12.92, _pow_el((xc + 0.055) / 1.055, 2.4))
 
 
 def _linear_to_srgb(y):
     y = jnp.maximum(y, 0.0)
-    return jnp.where(y <= 0.0031308, 12.92 * y, 1.055 * y ** (1.0 / 2.4) - 0.055)
+    return jnp.where(
+        y <= 0.0031308, 12.92 * y, 1.055 * _pow_el(y, 1.0 / 2.4) - 0.055
+    )
 
 
 def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:

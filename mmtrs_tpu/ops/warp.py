@@ -347,10 +347,18 @@ def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
     r_h = jnp.mean(beta_h, axis=1)                   # [B]
     off_h = beta_h - r_h[:, None]                    # [B, H]
 
-    # u8 staging only where the row blocks land on native 32-row u8 tiles
-    # (the production 512² geometry); other shapes keep f32 intermediates —
-    # conservative until odd-block u8 stores are validated on real Mosaic
-    u8_ok = _row_block(H) % 32 == 0 and _row_block(W) % 32 == 0
+    # u8 staging only for uint8 INPUTS (f32 chains may carry arbitrary-range
+    # data — e.g. normalized [0,1] images — that a u8 round-trip would
+    # destroy; the warp is dtype-preserving, so quantization is only legal
+    # when the caller already lives on the u8 lattice) and only where the
+    # row blocks land on native 32-row u8 tiles (the production 512²
+    # geometry); other shapes keep f32 intermediates — conservative until
+    # odd-block u8 stores are validated on real Mosaic
+    u8_ok = (
+        imgs.dtype == jnp.uint8
+        and _row_block(H) % 32 == 0
+        and _row_block(W) % 32 == 0
+    )
     mid_dt = jnp.uint8 if u8_ok else jnp.float32
 
     planar = imgs.transpose(0, 3, 1, 2).reshape(B * C * H, W)
@@ -377,7 +385,7 @@ def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
     # a u8 store from the kernel — the SAME round-half-up quantiser the
     # chain applies at its next boundary anyway, minus a full f32
     # transpose+quantise round-trip
-    out_dt = jnp.uint8 if (imgs.dtype == jnp.uint8 and u8_ok) else jnp.float32
+    out_dt = jnp.uint8 if u8_ok else jnp.float32
     outT = resample_rows_pallas(
         tmpT, off_v, repv(e_safe), repv(r_v), block_rows=_row_block(W),
         out_dtype=out_dt,

@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Round-4 TPU exactness + perf check for the fused-kernel changes:
 
-1. fused planar LAB↔RGB CLAHE (ops/pallas/lab_kernels.py) vs the XLA
-   composition — ≤1 level, ≥99.9% bit-equal;
+1. fused planar LAB↔RGB CLAHE (ops/pallas/lab_kernels.py) vs the
+   production oracle clahe_rgb(quant_l=True) — ≥99.9% bit-equal,
+   >1-level flips ≤1e-4 (compiler ULP ties at the L quantizer,
+   LUT-amplified), max ≤32;
 2. fused planar resample warp (_warp_shear_fused) vs the XLA two-pass
    path — ≤0.51 level on interior pixels;
 3. uint8-tiled CLAHE kernels vs the XLA oracle — bit-exact;
@@ -68,19 +70,28 @@ def main() -> int:
     variants = [v.astype(jnp.float32) for v in variants_u8]
     keys = keys_for_batch(42, np.arange(B), np.ones(B))
 
-    # --- 1. fused LAB path exactness --------------------------------------
-    got = np.asarray(clahe_lab_fused(variants_u8[0]))
-    lab = rgb_to_lab(variants[0])
-    l2 = clahe_xla(lab[..., 0])
-    l2 = jnp.floor(jnp.clip(l2, 0.0, 255.0) + 0.5)  # cv2 u8-L contract
-    rgb = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
+    # --- 1. fused LAB path exactness vs the PRODUCTION oracle --------------
+    # (clahe_rgb quant_l=True — the cv2-u8 integer-lattice path the i8
+    # chroma transport shares; includes saturated random input, the regime
+    # where the retired i16 transport diverged ~20 levels)
+    from mmtrs_tpu.ops.clahe import clahe_rgb
+
+    rng_ = np.random.default_rng(7)
+    lab_in = jnp.concatenate(
+        [variants_u8[0],
+         jnp.asarray(rng_.integers(0, 256, (8, 512, 512, 3)), jnp.uint8)]
+    )
+    got = np.asarray(clahe_lab_fused(lab_in))
+    rgb = clahe_rgb(lab_in.astype(jnp.float32), quant_l=True)
     want = np.asarray((jnp.clip(rgb, 0, 255) + 0.5).astype(jnp.int32).astype(jnp.uint8))
     diff = np.abs(got.astype(int) - want.astype(int))
-    print(f"fused LAB: max diff {diff.max()}  bit-equal {(diff == 0).mean():.5f}",
-          flush=True)
-    # ≥99.5%: i16 delta transport trades ~0.3% single-level boundary flips
-    # for 6× less inter-kernel HBM traffic (see lab_kernels docstring)
-    assert diff.max() <= 1 and (diff == 0).mean() >= 0.995
+    print(f"fused LAB: max diff {diff.max()}  bit-equal {(diff == 0).mean():.5f}"
+          f"  frac>1 {(diff > 1).mean():.2e}", flush=True)
+    # contract (see lab_kernels docstring / diag_lab_r4): ≥99.9% bit-equal,
+    # >1-level flips ≤1e-4 (Mosaic-vs-XLA 1-ULP ties at the L quantizer,
+    # LUT-amplified), max ≤32 sanity cap
+    assert diff.max() <= 32 and (diff == 0).mean() >= 0.999
+    assert (diff > 1).mean() <= 1e-4
 
     # --- 2. fused warp exactness ------------------------------------------
     m = jnp.tile(hflip3(512.0)[None], (B, 1, 1))

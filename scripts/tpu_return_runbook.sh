@@ -39,8 +39,9 @@ fi
 #    interpret-mode parity tests do not enforce Mosaic lowering rules)
 want perf && run perf_check_r4 timeout 3600 python scripts/perf_check_r4.py
 
-# 2. on-chip Pallas bit-exactness suite (runs on the ambient TPU)
-want pallas && run pytest_pallas timeout 5400 python -m pytest tests/test_pallas_tpu.py tests/test_cv2_goldens.py -q
+# 2. on-chip Pallas bit-exactness suite (MMTRS_TEST_TPU=1 opts the conftest
+#    out of its hermetic-CPU pin — round 4 made CPU the pytest default)
+want pallas && run pytest_pallas env MMTRS_TEST_TPU=1 timeout 5400 python -m pytest tests/test_pallas_tpu.py tests/test_cv2_goldens.py -q
 
 # 3. headline bench (b128 default, then larger batches — the fused warp
 #    no longer materializes [B,512,512] interp matrices, so the r3 b256

@@ -1,21 +1,29 @@
 """Test harness configuration.
 
-Platform policy: `setdefault` — when the ambient environment pins a platform
-(this machine exports JAX_PLATFORMS=axon → the real TPU), the suite runs
-there, which additionally activates the TPU-only Pallas bit-exactness tests
-(test_pallas_tpu.py). With no ambient platform the suite is hermetic
-CPU-only with 8 virtual devices for the multi-chip sharding paths. Env
-mutation happens at import time, before jax initializes its backends.
+Platform policy (round 4): the suite is hermetic CPU by DEFAULT — 8 virtual
+devices for the multi-chip sharding paths — regardless of the ambient
+JAX_PLATFORMS. Opt into the real TPU with MMTRS_TEST_TPU=1 (what
+scripts/tpu_return_runbook.sh does for tests/test_pallas_tpu.py); that
+activates the TPU-only Pallas bit-exactness tests and the platform-aware
+tolerances in the shared tests.
+
+Why forcing is needed: the axon sitecustomize calls axon.register()
+at interpreter startup whenever PALLAS_AXON_POOL_IPS is set, and after
+that registration the env-var route (JAX_PLATFORMS=cpu, popping the pool
+var — the round-3 mechanism) no longer reaches CPU: `JAX_PLATFORMS=cpu
+python -c "print(jax.devices())"` reports tpu on this box (re-verified
+round 4). `jax.config.update("jax_platforms", "cpu")` after import DOES
+win, so that is the pin. Without it the ambient suite lands on the remote
+TPU where every fresh program is a multi-minute remote compile — a full
+suite run would take hours and once triggered a 12 h tunnel outage
+(NOTES_ROUND4.md).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# The axon sitecustomize (keyed on PALLAS_AXON_POOL_IPS) force-initializes
-# the TPU platform EVEN when JAX_PLATFORMS=cpu — verified round 3:
-# `JAX_PLATFORMS=cpu python -c "print(jax.devices())"` reports tpu on this
-# box. A cpu pin is only honest if the pool var is gone too.
-if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+_WANT_TPU = os.environ.get("MMTRS_TEST_TPU", "") == "1"
+if not _WANT_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -28,6 +36,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mmtrs_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+if not _WANT_TPU:
+    # the env route is dead once sitecustomize's register() has run (see
+    # module docstring); the config route wins even after registration
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

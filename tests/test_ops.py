@@ -1,6 +1,7 @@
 """Image ops: color conversions, warps, resize/crop geometry, CLAHE, deskew."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -305,31 +306,42 @@ def test_deskew_skips_blank():
 
 
 def test_fast_color_math_matches_exact_closed_forms():
-    """The LAB transcendentals are the exact closed forms evaluated in f32
-    on-device (round 3 reverted the poly/Halley fastmath: measured slower on
-    the VPU than the native pow lowering). Pin the on-device evaluation
-    against float64 closed forms at sub-level precision so transcendental
-    drift (library lowering changes included) can never silently move
-    pixels. Measured TPU maxima: s2l 2.9e-6, l2s 5.2e-6 (0.0013 intensity
-    levels), cbrt rel 2.6e-7."""
+    """The LAB transcendentals are exact closed forms evaluated in f32
+    on-device as exp/log compositions — round 4 made ops/color.py share the
+    Pallas kernels' exact forms (diag_lab_r4: Mosaic == XLA:TPU bit-equal on
+    them, while XLA's dedicated cbrt/pow lowerings ULP-differ at the L
+    quantizer). Pin the on-device evaluation against float64 closed forms at
+    sub-level precision so transcendental drift (library lowering changes
+    included) can never silently move pixels. Measured maxima — true CPU:
+    s2l 6e-8, l2s 1.5e-7, cbrt rel 2e-7. On TPU (MMTRS_TEST_TPU=1 opts the
+    suite onto the chip; the conftest default is hermetic CPU) XLA:TPU's
+    exp/log carry ~1e-4-class ULP vs the f64 closed forms — the price of
+    the cross-platform bit-equality of the quantized L plane (≈0.03 u8
+    levels, invisible at the quantizer). Bounds are platform-aware; both
+    keep errors far below one u8 level."""
     from mmtrs_tpu.ops.color import _cbrt_fast, _linear_to_srgb, _srgb_to_linear
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    tol_s2l, tol_l2s, tol_cbrt = (
+        (8e-4, 4e-4, 4e-4) if on_tpu else (2e-5, 1e-5, 1e-6)
+    )
 
     x = np.linspace(0.0, 1.0, 4097).astype(np.float32)
     lin_exact = np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
     got = np.asarray(_srgb_to_linear(jnp.asarray(x)))
-    assert np.abs(got - lin_exact).max() < 2e-5
+    assert np.abs(got - lin_exact).max() < tol_s2l
 
     y = np.linspace(0.0, 1.2, 4097).astype(np.float64)
     srgb_exact = np.where(
         y <= 0.0031308, 12.92 * y, 1.055 * y ** (1 / 2.4) - 0.055
     )
     got = np.asarray(_linear_to_srgb(jnp.asarray(y.astype(np.float32))))
-    assert np.abs(got - srgb_exact).max() < 1e-5
+    assert np.abs(got - srgb_exact).max() < tol_l2s
 
     t = np.linspace(1e-4, 1.5, 4097).astype(np.float64)
     got = np.asarray(_cbrt_fast(jnp.asarray(t.astype(np.float32))))
     rel = np.abs(got - np.cbrt(t)) / np.cbrt(t)
-    assert rel.max() < 1e-6
+    assert rel.max() < tol_cbrt
 
 
 def test_crop_warp_fused_identity_matches_crop_box_resize():
@@ -347,11 +359,15 @@ def test_crop_warp_fused_identity_matches_crop_box_resize():
     mats = jnp.tile(identity3()[None], (3, 1, 1))
     want = np.asarray(crop_box_resize(x, boxes, 512, margin=15.0))
     got = np.asarray(crop_warp_fused(x, boxes, mats, 512, margin=15.0))
-    # identical sampling coordinates; residual is summation-order noise
-    # (H-then-V vs V-then-H resample, ~0.014 measured on CPU f32 at 512²,
-    # similar under the TPU HIGH einsum). A real coordinate bug shows as
-    # whole intensity levels (the round-3 linalg.inv defect measured 6.3).
-    assert np.abs(got - want).max() < 0.06
+    # identical sampling coordinates; residual on CPU is summation-order
+    # noise (H-then-V vs V-then-H resample, ~0.014 measured on CPU f32 at
+    # 512²). Under MMTRS_TEST_TPU=1 the fused Pallas resample engages and
+    # its interp matmul runs at the MXU's default f32 precision
+    # (bf16-mantissa passes, ~0.4% rel) — measured max 1.81 levels on-chip
+    # r4. A real coordinate bug shows as many whole intensity levels (the
+    # round-3 linalg.inv defect measured 6.3 with ~50% of pixels off).
+    tol = 2.5 if jax.devices()[0].platform == "tpu" else 0.06
+    assert np.abs(got - want).max() < tol
 
 
 def test_crop_warp_fused_matches_sequential_on_linear_ramp():
@@ -392,34 +408,37 @@ def test_crop_warp_fused_matches_sequential_on_linear_ramp():
 
 def test_clahe_lab_fused_matches_xla_composition_interpret():
     """The fused planar LAB↔RGB Pallas path (interpret mode on CPU) must
-    match rgb_to_lab → clahe → lab_to_rgb → uint8-stage within 1 level
-    (f32 exp/log-vs-pow ULP straddles at the quantiser only)."""
+    match the PRODUCTION oracle clahe_rgb(quant_l=True) — i.e. the cv2-u8
+    data path: round(rgb_to_lab) → clahe on integer L → integer a,b back
+    through lab_to_rgb → uint8 store. The i8 chroma transport IS that
+    integer lattice, so under one compiler (interpret mode runs the same
+    XLA CPU math) the two paths agree except at f32 round-to-nearest ties,
+    which straddle only under differing codegen. Includes saturated random
+    colors — the regime where the retired i16 fixed-point transport
+    diverged up to ~20 levels from the oracle's integer a/b rounding."""
     import jax.numpy as jnp
 
-    from mmtrs_tpu.ops.clahe import clahe
-    from mmtrs_tpu.ops.color import lab_to_rgb, rgb_to_lab
+    from mmtrs_tpu.ops.clahe import clahe_rgb
     from mmtrs_tpu.ops.pallas.lab_kernels import clahe_lab_fused, supports
     from tests.synth import synth_images
 
     assert supports(128, 128)
-    imgs = synth_images(2, 128, seed=9)
+    rng = np.random.default_rng(9)
+    imgs = np.concatenate(
+        [
+            synth_images(2, 128, seed=9),
+            rng.integers(0, 256, (2, 128, 128, 3)).astype(np.uint8),
+        ]
+    )
     got = np.asarray(clahe_lab_fused(jnp.asarray(imgs), interpret=True))
 
-    lab = rgb_to_lab(jnp.asarray(imgs, jnp.float32))
-    l2 = clahe(lab[..., 0])
-    # cv2 CLAHE returns uint8 L (saturate_cast<uchar>) — both the fused
-    # path and the production XLA stage quantize here
-    l2 = jnp.floor(jnp.clip(l2, 0.0, 255.0) + 0.5)
-    rgb = lab_to_rgb(jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
+    rgb = clahe_rgb(jnp.asarray(imgs, jnp.float32), quant_l=True)
     want = np.asarray(
         (jnp.clip(rgb, 0, 255) + 0.5).astype(jnp.int32).astype(jnp.uint8)
     )
     diff = np.abs(got.astype(int) - want.astype(int))
     assert diff.max() <= 1, diff.max()
-    # ≥99.5%: the i16 fixed-point delta transport (step 2^-15) nudges
-    # ~0.3% of quantiser-boundary pixels one level vs the f32 composition
-    # — the price of cutting inter-kernel traffic from 24 to 4 B/px
-    assert (diff == 0).mean() >= 0.995, (diff == 0).mean()
+    assert (diff == 0).mean() >= 0.999, (diff == 0).mean()
 
 
 def test_shift_rows_pallas_u8_roundtrip_interpret():

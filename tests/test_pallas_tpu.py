@@ -185,9 +185,15 @@ def test_legacy_photometrics_fused_vs_ref_wiring():
     assert quiet.any()
     # wiring check, not an exactness check (per-kernel exactness is pinned
     # elsewhere): rows whose CLAHE gate fired route through clahe_lab_fused
-    # on the fused path vs clahe_rgb(quant_l=True) on the oracle path —
-    # equal within the fused-LAB ≤1-level / ≥99.5% contract; all other
-    # quiet rows are bit-shared code
+    # on the fused path vs clahe_rgb(quant_l=True) on the oracle path. The
+    # i8 chroma transport shares the oracle's cv2 integer lattice, so the
+    # residual is 1-ULP Mosaic-vs-XLA:TPU ties at the L quantizer
+    # (~2e-5 of pixels, diag_lab_r4), amplified ≤~12 levels through the
+    # CLAHE LUT — the contract is therefore distribution-shaped, not a
+    # hard max: ≥99.9% bit-equal, >1-level flips ≤ 0.1%, max ≤ 32 (the
+    # retired i16 transport measured bit-equal 0.651 / max 20; the cbrt
+    # lowering bug 0.989 — both far outside these bars)
     diff = np.abs(a[quiet].astype(np.int32) - b[quiet].astype(np.int32))
-    assert diff.max() <= 1, diff.max()
-    assert (diff == 0).mean() >= 0.995, (diff == 0).mean()
+    assert diff.max() <= 32, diff.max()
+    assert (diff == 0).mean() >= 0.999, (diff == 0).mean()
+    assert (diff > 1).mean() <= 1e-3, (diff > 1).mean()
