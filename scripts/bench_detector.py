@@ -118,13 +118,15 @@ def main() -> int:
         # compile for little extra information. Points: f32@512 batch
         # scaling (is it batch-amortizable at all?), bf16@512 batch scaling
         # (the dtype lever), bf16 resolution ladder at the best batch.
+        # b32 compiles crash this rig's remote compile helper (HTTP 500,
+        # reports/detector_bench.json r4 sweep) — the resolution ladder
+        # therefore rides b16, the best batch that compiles.
         points = [
-            ("float32", 512, 32),
+            ("float32", 512, 16),
             ("bfloat16", 512, 8),
             ("bfloat16", 512, 16),
-            ("bfloat16", 512, 32),
-            ("bfloat16", 384, 32),
-            ("bfloat16", 256, 32),
+            ("bfloat16", 384, 16),
+            ("bfloat16", 256, 16),
         ]
         sweep = {}
         for dtype, size, b in points:
