@@ -126,21 +126,30 @@ def main() -> int:
     if pallas_fallback:
         rec["pallas_fallback"] = True  # fused kernels failed to compile
     if e2e is not None:
-        serial, pipelined = e2e
+        serials, pipelineds = e2e
         # On single-channel remote-tunnel rigs the D2H fetch and the next
         # dispatch share one serialized RPC stream, so the 3-stage overlap
         # (preprocess.pipelined_run) cannot beat the serial loop and thread
         # contention can make it slower; on a PCIe host the overlap wins.
-        # Headline the better mode and keep both on the record.
+        # Trials are INTERLEAVED (serial, pipelined, serial, ...) so both
+        # modes see the same tunnel weather; the distribution (min/median/
+        # max) is on record, the headline is the better median.
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        serial, pipelined = med(serials), med(pipelineds)
         rec["e2e_imgs_per_sec"] = round(float(max(serial, pipelined)), 2)
         rec["e2e_mode"] = "pipelined" if pipelined >= serial else "serial"
         rec["e2e_serial_imgs_per_sec"] = round(float(serial), 2)
         rec["e2e_pipelined_imgs_per_sec"] = round(float(pipelined), 2)
+        dist = lambda xs: [round(float(v), 2) for v in (min(xs), med(xs), max(xs))]
+        rec["e2e_serial_min_med_max"] = dist(serials)
+        rec["e2e_pipelined_min_med_max"] = dist(pipelineds)
         rec["e2e_note"] = (
-            "jpeg-decode + chain + uint8 result fetch; pipelined figure "
+            "jpeg-decode + chain + uint8 result fetch; medians of "
+            f"{len(serials)} interleaved trials per mode; pipelined "
             "overlaps decode/compute/fetch (preprocess.pipelined_run); "
             "result transfer rides the remote-TPU tunnel (~12-20 MB/s D2H, "
-            "serialized RPC stream) in this rig, so serial can win here"
+            "serialized RPC stream) in this rig, so serial can win here; "
+            "e2e_imgs_per_sec = better median (see e2e_mode)"
         )
     print(json.dumps(rec))
     return 0
@@ -180,26 +189,38 @@ def _bench_e2e(batch: int, use_pallas: bool) -> tuple[float, float]:
         # warm: compile + decoder first touch
         _ = np.asarray(fn(jnp.asarray(decode())))
 
-        # serial: decode → upload → compute → fetch, one after another
+        def run_serial(iters):
+            # serial: decode → upload → compute → fetch, one after another
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                host = decode()
+                out = np.asarray(fn(jnp.asarray(host)))
+            dt = time.perf_counter() - t0
+            assert out.dtype == np.uint8 and out.shape[1:] == (512, 512, 3)
+            return batch * iters / dt
+
+        def run_pipelined(iters):
+            # pipelined: decode N+1 ∥ compute N ∥ fetch N−1
+            def feed():
+                for i in range(iters):
+                    yield i, decode()
+
+            t0 = time.perf_counter()
+            n_out = 0
+            for _, out in pipelined_run(fn, feed()):
+                n_out += len(out)
+            return n_out / (time.perf_counter() - t0)
+
+        # Interleave modes so both see the same tunnel weather (D2H
+        # throughput is bimodal across sessions on this rig — VERDICT r4
+        # weak #4 asked for a distribution, not one sample per mode).
+        trials = int(os.environ.get("MMTRS_BENCH_E2E_TRIALS", "3"))
         iters = 4
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            host = decode()
-            out = np.asarray(fn(jnp.asarray(host)))
-        serial = batch * iters / (time.perf_counter() - t0)
-        assert out.dtype == np.uint8 and out.shape[1:] == (512, 512, 3)
-
-        # pipelined: decode N+1 ∥ compute N ∥ fetch N−1
-        def feed():
-            for i in range(iters):
-                yield i, decode()
-
-        t0 = time.perf_counter()
-        n_out = 0
-        for _, out in pipelined_run(fn, feed()):
-            n_out += len(out)
-        pipelined = n_out / (time.perf_counter() - t0)
-        return serial, pipelined
+        serials, pipelineds = [], []
+        for _ in range(trials):
+            serials.append(run_serial(iters))
+            pipelineds.append(run_pipelined(iters))
+        return serials, pipelineds
 
 
 def _make_decoder(paths):

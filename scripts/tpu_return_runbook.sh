@@ -10,7 +10,7 @@
 #
 # Usage:  bash scripts/tpu_return_runbook.sh          # all steps
 #         bash scripts/tpu_return_runbook.sh bench    # single step
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
@@ -23,7 +23,9 @@ run() {
   local name="$1"; shift
   echo "=== [$name] start $(date -u +%FT%TZ) ===" | tee -a "$LOG"
   "$@" 2>&1 | tee -a "$LOG"
-  local rc=$?
+  # pipefail is on, but capture the command's own status explicitly so a
+  # tee hiccup can never mask a step failure (round-4 bug: rc was tee's).
+  local rc=${PIPESTATUS[0]}
   echo "=== [$name] rc=$rc end $(date -u +%FT%TZ) ===" | tee -a "$LOG"
   return $rc
 }

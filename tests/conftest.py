@@ -23,6 +23,16 @@ import os
 
 _WANT_TPU = os.environ.get("MMTRS_TEST_TPU", "") == "1"
 if not _WANT_TPU:
+    _ambient = os.environ.get("JAX_PLATFORMS", "")
+    if _ambient and _ambient != "cpu":
+        import sys
+
+        print(
+            f"[mmtrs conftest] overriding JAX_PLATFORMS={_ambient!r} -> cpu "
+            "(suite is hermetic-CPU by default; set MMTRS_TEST_TPU=1 to run "
+            "on the real device)",
+            file=sys.stderr,
+        )
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
