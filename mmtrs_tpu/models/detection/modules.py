@@ -238,6 +238,14 @@ class DetectorConfig:
     rpn_nms_thresh: float = 0.7
     box_score_thresh: float = 0.05
     box_nms_thresh: float = 0.5
+    # Candidate cap BEFORE the class-aware box NMS: the flat candidate set
+    # is post_nms_topk × (num_classes−1) = 11,520 boxes, whose pairwise-IoU
+    # matrix is 531 MB f32 PER IMAGE — the detector's dominant HBM cost.
+    # Greedy NMS picks in score order and keeps ≤ max_detections, so
+    # restricting to the top-K scored candidates is exact unless > K−D of
+    # the top K are suppressed before D survivors emerge (never observed;
+    # K/D = 32). 512² IoU is 1 MB — a 500× traffic cut.
+    box_pre_nms_topk: int = 512
     max_detections: int = 16
     mask_out: int = 28
     # "bfloat16" runs body/FPN/RPN/heads matmuls on the MXU at half the HBM
@@ -278,20 +286,25 @@ class MaskRCNN(nn.Module):
 
     def __call__(self, imgs01: jnp.ndarray):
         """imgs01: [B, S, S, 3] float32 in 0..1."""
+        S = imgs01.shape[1]
+        feats = self.features(imgs01)
+        logits, deltas = self.rpn_head(feats)
+        props, pvalid = self.rpn_proposals(feats, logits, deltas, S)
+        return self.detection_heads(feats, props, pvalid, S)
+
+    def rpn_proposals(self, feats, logits, deltas, S: int):
+        """Per-image RPN proposal selection, vmapped over the batch.
+        Split out of __call__ so the perf harness can attribute stages
+        (scripts/perf_detector_r5.py) and alternate pipelines can reuse it."""
         from mmtrs_tpu.models.detection.ops import (
             clip_boxes,
             decode_boxes,
             make_anchors_per_level,
-            roi_align_multilevel,
             static_nms,
             topk_static,
         )
 
         c = self.cfg
-        B, S = imgs01.shape[0], imgs01.shape[1]
-        feats = self.features(imgs01)
-        logits, deltas = self.rpn_head(feats)
-
         anchors = [
             jnp.asarray(
                 make_anchors_per_level(
@@ -328,7 +341,19 @@ class MaskRCNN(nn.Module):
             )
             return boxes[keep], valid
 
-        props, pvalid = jax.vmap(proposals_one)(logits, deltas)
+        return jax.vmap(proposals_one)(logits, deltas)
+
+    def detection_heads(self, feats, props, pvalid, S: int):
+        """Box + mask heads over RPN proposals, vmapped over the batch."""
+        from mmtrs_tpu.models.detection.ops import (
+            clip_boxes,
+            decode_boxes,
+            roi_align_multilevel,
+            static_nms,
+            topk_static,
+        )
+
+        c = self.cfg
 
         def heads_one(feats_b, props_b, pvalid_b):
             roi = roi_align_multilevel(
@@ -356,6 +381,15 @@ class MaskRCNN(nn.Module):
                 flat_boxes[:, 3] - flat_boxes[:, 1] <= 1e-2
             )
             sc = jnp.where(ok & ~small, flat_scores, -jnp.inf)
+            # cap candidates by score BEFORE building the IoU matrix (see
+            # box_pre_nms_topk in DetectorConfig — exact for ≤max_detections
+            # outputs, turns a 531 MB/image matrix into 1 MB)
+            K = min(c.box_pre_nms_topk, sc.shape[0])
+            if K < sc.shape[0]:
+                sc, top_i = topk_static(sc, K)
+                flat_boxes = flat_boxes[top_i]
+                flat_scores = flat_scores[top_i]
+                flat_labels = flat_labels[top_i]
             keep, valid = static_nms(
                 flat_boxes, sc, c.box_nms_thresh, c.max_detections, flat_labels
             )

@@ -54,7 +54,20 @@ class SaliencySegmenter:
 
     @partial(jax.jit, static_argnums=(0,))
     def propose_boxes(self, imgs: jnp.ndarray):
-        B, H, W, _ = imgs.shape
+        x = imgs.astype(jnp.float32)
+        return self._propose_from_rgb(x[..., 0], x[..., 1], x[..., 2])
+
+    @partial(jax.jit, static_argnums=(0,))
+    def propose_boxes_planes(self, planes: tuple):
+        """Planar-chain entry: (r, g, b) planes [B,H,W] — identical math to
+        :meth:`propose_boxes`, reading the chain's plane arrays directly."""
+        r, g, b = planes
+        return self._propose_from_rgb(
+            r.astype(jnp.float32), g.astype(jnp.float32), b.astype(jnp.float32)
+        )
+
+    def _propose_from_rgb(self, r, g, b):
+        B, H, W = r.shape
         # Brightness = Rec.601 luma, not LAB L: the saliency heuristic only
         # needs a monotone brightness field (quantile=0.80 is a tuning knob,
         # not a contract), and luma is one fused multiply-add per pixel vs
@@ -62,8 +75,6 @@ class SaliencySegmenter:
         # VPU cost (round-4 perf backlog item 4). Saturation is computed
         # directly ((max−min)/max, cv2 scale) instead of through the full
         # HSV conversion (hue is unused here).
-        x = imgs.astype(jnp.float32)
-        r, g, b = x[..., 0], x[..., 1], x[..., 2]
         l = 0.299 * r + 0.587 * g + 0.114 * b
         cmax = jnp.maximum(jnp.maximum(r, g), b)
         cmin = jnp.minimum(jnp.minimum(r, g), b)

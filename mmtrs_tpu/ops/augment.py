@@ -293,38 +293,51 @@ def subset_apply(op, imgs, on, cap: int, *extras):
     ``cap`` images fire (probability ≲1e-4 by construction), a lax.cond
     falls back to the full-batch apply — same semantics, just slower.
 
-    ``op(sub_imgs, *sub_extras)`` must be per-image independent (vmap-like);
-    ``extras`` are gathered with the same indices. Untouched rows pass
-    through bit-exact; selected rows match the full-batch apply up to fp
-    contraction ULPs (XLA schedules [cap,...] and [B,...] programs
+    ``imgs`` may be a PYTREE of batch-axis-0 arrays (e.g. the planar-chain
+    (r, g, b) plane tuple); ``op`` then receives and returns the same
+    structure. ``op(sub_imgs, *sub_extras)`` must be per-image independent
+    (vmap-like); ``extras`` are gathered with the same indices. Untouched
+    rows pass through bit-exact; selected rows match the full-batch apply
+    up to fp contraction ULPs (XLA schedules [cap,...] and [B,...] programs
     differently) — fine for augmentation, whose albumentations parity is
     distributional (SURVEY §7 hard-part 3). A given call is still fully
     deterministic: gates derive from per-origin keys, so the same inputs
     always take the same path.
     """
-    B = imgs.shape[0]
+    leaves = jax.tree.leaves(imgs)
+    B = leaves[0].shape[0]
     count = jnp.sum(on.astype(jnp.int32))
-    mask = on[:, None, None, None]
+
+    def bmask(m, x):
+        return m.reshape((-1,) + (1,) * (x.ndim - 1))
 
     def subset_path(_):
         idx = jnp.argsort(~on, stable=True)[:cap]  # selected rows first
-        sub = jnp.take(imgs, idx, axis=0)
+        sub = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), imgs)
         sub_out = op(sub, *[jnp.take(e, idx, axis=0) for e in extras])
-        keep = on[idx][:, None, None, None]
-        return imgs.at[idx].set(jnp.where(keep, sub_out, sub))
+        keep = on[idx]
+        return jax.tree.map(
+            lambda x, s, so: x.at[idx].set(jnp.where(bmask(keep, so), so, s)),
+            imgs, sub, sub_out,
+        )
 
     def full_path(_):
-        return jnp.where(mask, op(imgs, *extras), imgs)
+        out = op(imgs, *extras)
+        return jax.tree.map(
+            lambda x, o: jnp.where(bmask(on, o), o, x), imgs, out
+        )
 
     if cap >= B:
         return full_path(None)
 
-    def nonzero_path(_):
-        return jax.lax.cond(count <= cap, subset_path, full_path, None)
-
-    # zero-cost no-op when nothing fires (the common case for deskew's 15°
-    # tolerance gate and for small-B p-gated ops): skip even the cap-sized op
-    return jax.lax.cond(count == 0, lambda _: imgs, nonzero_path, None)
+    # No count==0 shortcut: measured on-chip (scripts/exp_subset_r5.py,
+    # round 5), a cond identity branch must COPY the full batch (~2×100 MB
+    # at b128@512², ≈3 ms) because a cond result can't alias its operand —
+    # while the subset path on non-firing rows costs only the cap-sized op
+    # plus an in-place scatter that restores the rows bit-exactly
+    # (keep=False → where(keep, sub_out, sub) = sub). Running the subset
+    # path unconditionally is cheaper than "skipping".
+    return jax.lax.cond(count <= cap, subset_path, full_path, None)
 
 
 # ---------------------------------------------------------------------------

@@ -56,13 +56,6 @@ def canny_lite(
     return strong | (weak & (dil > 0))
 
 
-def _pool4(gray: jnp.ndarray) -> jnp.ndarray:
-    B, H, W = gray.shape
-    h4, w4 = (H // 4) * 4, (W // 4) * 4
-    g = gray[:, :h4, :w4].reshape(B, h4 // 4, 4, w4 // 4, 4)
-    return g.mean(axis=(2, 4))
-
-
 @jax.jit
 def estimate_skew_angle(
     imgs: jnp.ndarray,
@@ -71,10 +64,27 @@ def estimate_skew_angle(
     min_points: int = 10,
     downsample: bool = True,
 ) -> jnp.ndarray:
-    """Principal-axis angle (degrees) of the edge mass, per image [B]."""
-    gray = rgb_to_gray(imgs)
+    """Principal-axis angle (degrees) of the edge mass, per image [B].
+
+    Order note: gray-then-pool fuses into ONE u8 read on XLA:TPU; the
+    "obvious" pool-before-gray reorder measured SLOWER (3.06 vs 2.14 ms
+    @b128, scripts/exp_subset_r5.py D1/D2) because it breaks that fusion.
+    """
+    return _estimate_from_gray(rgb_to_gray(imgs), low, high, min_points,
+                               downsample)
+
+
+def _estimate_from_gray(
+    gray: jnp.ndarray,
+    low: float = 50.0,
+    high: float = 150.0,
+    min_points: int = 10,
+    downsample: bool = True,
+) -> jnp.ndarray:
     if downsample:
-        gray = _pool4(gray)
+        B, H, W = gray.shape
+        h4, w4 = (H // 4) * 4, (W // 4) * 4
+        gray = gray[:, :h4, :w4].reshape(B, h4 // 4, 4, w4 // 4, 4).mean(axis=(2, 4))
     m = canny_lite(gray, low, high).astype(jnp.float32)
     B, H, W = m.shape
     ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
@@ -133,4 +143,38 @@ def deskew_batch(
         return rot.astype(imgs.dtype)
 
     out = subset_apply(do_warp, imgs, apply, max(2, B // 4), eff)
+    return out, eff
+
+
+@partial(jax.jit, static_argnames=("tolerance_deg",))
+def deskew_batch_planes(
+    planes: tuple,
+    tolerance_deg: float = 15.0,
+    low: float = 50.0,
+    high: float = 150.0,
+) -> tuple:
+    """Planar-chain twin of :func:`deskew_batch`: (r, g, b) u8 planes in →
+    planes out. The angle estimate reads the planes directly (same luma
+    weights); the rarely-firing rotation warp stacks ONLY the compacted
+    cap-sized sub-batch to NHWC for rotate_shear3 — at cap = B/4 that
+    stack is a quarter-batch copy inside a branch that usually processes
+    no-op rows, vs. a full-batch planarize/interleave on the hot path."""
+    from mmtrs_tpu.ops.augment import subset_apply
+
+    r, g, b = planes
+    B, H, W = r.shape
+    gray = (0.299 * r.astype(jnp.float32) + 0.587 * g.astype(jnp.float32)
+            + 0.114 * b.astype(jnp.float32))  # rgb_to_gray on planes
+    angle = _estimate_from_gray(gray, low, high)
+    apply = jnp.abs(angle) >= tolerance_deg
+    eff = jnp.where(apply, angle, 0.0)
+
+    def do_warp(sub_planes, a):
+        x = jnp.stack(sub_planes, axis=-1)  # [cap,H,W,3]
+        rot = rotate_shear3(x, a, center_xy=(W / 2.0, H / 2.0))
+        if rot.dtype != jnp.uint8:
+            rot = (jnp.clip(rot, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
+        return (rot[..., 0], rot[..., 1], rot[..., 2])
+
+    out = subset_apply(do_warp, planes, apply, max(2, B // 4), eff)
     return out, eff

@@ -188,29 +188,44 @@ def _plane_call(kernel, ins, out_dtypes, H, W, B, interpret=False):
     )(*ins)
 
 
-@partial(jax.jit, static_argnames=("clip", "tiles", "interpret"))
+@partial(jax.jit, static_argnames=("clip", "tiles", "interpret", "planar_in",
+                                   "planar_out"))
 def clahe_lab_fused(
     imgs: jnp.ndarray,
     clip: float = 3.0,
     tiles: tuple[int, int] = (8, 8),
     interpret: bool = False,
-) -> jnp.ndarray:
-    """[B,H,W,3] uint8/float RGB 0..255 → CLAHE-on-LAB-L → uint8 RGB.
+    planar_in: bool = False,
+    planar_out: bool = False,
+):
+    """RGB 0..255 → CLAHE-on-LAB-L → uint8 RGB.
+
+    Default layout is interleaved [B,H,W,3] in/out. ``planar_in`` accepts a
+    3-tuple of u8 planes (r, g, b) each [B,H,W]; ``planar_out`` returns one
+    — the planar-chain contract (round 5): stages exchange separate plane
+    arrays so NO stack/transpose pass exists between Pallas stages, only
+    one planarize at chain entry and one interleave at exit.
 
     Drop-in for rgb_to_lab → clahe(L) → lab_to_rgb → uint8-stage on TPU.
     Parity vs that composition is distribution-shaped (≥99.9% bit-equal,
     >1-level flips ≤1e-3, max ≤32 from LUT-amplified 1-ULP compiler ties
     at a rounding boundary) — see the module docstring for the contract
     and tests/test_pallas_tpu.py for its enforcement."""
-    B, H, W, C = imgs.shape
-    assert C == 3 and supports(H, W, tiles)
-    xq = (
-        imgs
-        if imgs.dtype == jnp.uint8
-        else (jnp.clip(imgs, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
-    )
-    xp = xq.transpose(0, 3, 1, 2)  # ONE u8 transpose to planes
-    r, g, b = xp[:, 0], xp[:, 1], xp[:, 2]
+    if planar_in:
+        r, g, b = imgs
+        assert r.dtype == jnp.uint8
+        B, H, W = r.shape
+        assert supports(H, W, tiles)
+    else:
+        B, H, W, C = imgs.shape
+        assert C == 3 and supports(H, W, tiles)
+        xq = (
+            imgs
+            if imgs.dtype == jnp.uint8
+            else (jnp.clip(imgs, 0.0, 255.0) + 0.5).astype(jnp.int32).astype(jnp.uint8)
+        )
+        xp = xq.transpose(0, 3, 1, 2)  # ONE u8 transpose to planes
+        r, g, b = xp[:, 0], xp[:, 1], xp[:, 2]
 
     da, db, lq = _plane_call(
         _fwd_kernel, (r, g, b),
@@ -226,4 +241,6 @@ def clahe_lab_fused(
         (jnp.uint8, jnp.uint8, jnp.uint8),
         H, W, B, interpret,
     )
+    if planar_out:
+        return (r2, g2, b2)
     return jnp.stack([r2, g2, b2], axis=-1)  # ONE u8 interleave back

@@ -168,11 +168,26 @@ def crop_warp_fused(
         raise ValueError(
             f"crop_warp_fused requires H=W=out_size, got {(H, W, out_size)}"
         )
+    m_total, m_aug, crop_params = _crop_warp_matrix(
+        boxes, mats, H, W, out_size, margin
+    )
+    # replicate border here; the exact combined mask is applied below
+    out = warp_affine_shear(imgs, m_total, border="replicate")
+    ok = _crop_warp_mask(m_aug, crop_params, out_size)
+    # dtype-preserving fill: the fused-TPU warp returns uint8 for uint8
+    # inputs — a 0.0 literal would silently promote the whole image back
+    # to f32 and undo the u8 staging
+    fill = jnp.uint8(0) if out.dtype == jnp.uint8 else 0.0
+    return jnp.where(ok[..., None], out, fill)
+
+
+def _crop_warp_matrix(boxes, mats, H, W, out_size, margin):
+    """Combined crop∘augment forward matrix + mask params (shared by the
+    interleaved and planar crop_warp entry points)."""
     scale, ty, tx, y0, x0, y1, x1 = _crop_affine_params(
         boxes, H, W, out_size, margin
     )
     m_aug = _to_3x3(mats.astype(jnp.float32))
-    # forward crop matrix (src→dst) from the dst→src map src = scale·dst+t
     z = jnp.zeros_like(scale)
     one = jnp.ones_like(scale)
     inv_s = 1.0 / scale
@@ -186,9 +201,13 @@ def crop_warp_fused(
     )  # [B,3,3], (x,y,1) coords
     m_total = jnp.einsum("bij,bjk->bik", m_aug, m_crop,
                          precision=jax.lax.Precision.HIGHEST)
-    # replicate border here; the exact combined mask is applied below
-    out = warp_affine_shear(imgs, m_total, border="replicate")
+    return m_total, m_aug, (scale, ty, tx, y0, x0, y1, x1)
 
+
+def _crop_warp_mask(m_aug, crop_params, out_size):
+    """[B,out,out] bool — True where the output pixel has a real source
+    (see crop_warp_fused docstring for the exact-mask derivation)."""
+    scale, ty, tx, y0, x0, y1, x1 = crop_params
     inva = jax.vmap(invert_affine)(m_aug)
     xx = jnp.arange(out_size, dtype=jnp.float32)[None, None, :]
     yy = jnp.arange(out_size, dtype=jnp.float32)[None, :, None]
@@ -199,16 +218,47 @@ def crop_warp_fused(
     sx = scale[:, None, None] * vx + tx[:, None, None]
     sy = scale[:, None, None] * vy + ty[:, None, None]
     lim = float(out_size - 1)
-    ok = (
+    return (
         (vx >= 0.0) & (vx <= lim) & (vy >= 0.0) & (vy <= lim)
         & (sx >= x0[:, None, None] - 0.5) & (sx <= x1[:, None, None] - 0.5)
         & (sy >= y0[:, None, None] - 0.5) & (sy <= y1[:, None, None] - 0.5)
     )
-    # dtype-preserving fill: the fused-TPU warp returns uint8 for uint8
-    # inputs — a 0.0 literal would silently promote the whole image back
-    # to f32 and undo the u8 staging
-    fill = jnp.uint8(0) if out.dtype == jnp.uint8 else 0.0
-    return jnp.where(ok[..., None], out, fill)
+
+
+def crop_warp_fused_planes(
+    planes: tuple,
+    boxes: jnp.ndarray,
+    mats: jnp.ndarray,
+    out_size: int,
+    margin: float = 15.0,
+    interpret: bool = False,
+) -> tuple:
+    """Planar-chain twin of :func:`crop_warp_fused`: (r, g, b) u8 planes
+    [B,S,S] in → planes out. Identical math (same combined matrix, same
+    fused two-pass kernels, same exact combined mask); the only difference
+    is that NO NHWC planarize/interleave pass exists — the round-5 chain
+    keeps planes separate from the LAB stage to the final interleave."""
+    from mmtrs_tpu.ops.warp import (
+        _warp_shear_fused_planes,
+        invert_affine_params,
+    )
+
+    B, H, W = planes[0].shape
+    if H != out_size or W != out_size:
+        raise ValueError(
+            f"crop_warp_fused_planes requires H=W=out_size, got {(H, W, out_size)}"
+        )
+    m_total, m_aug, crop_params = _crop_warp_matrix(
+        boxes, mats, H, W, out_size, margin
+    )
+    a, b, c, d, e, f = invert_affine_params(m_total)
+    e_safe = jnp.where(jnp.abs(e) < 1e-3,
+                       jnp.where(e < 0, -1e-3, 1e-3), e)
+    outs = _warp_shear_fused_planes(planes, a, b, c, d, e_safe, f,
+                                    interpret=interpret)
+    ok = _crop_warp_mask(m_aug, crop_params, out_size)
+    fill = jnp.uint8(0) if outs[0].dtype == jnp.uint8 else 0.0
+    return tuple(jnp.where(ok, o, fill) for o in outs)
 
 
 def mask_to_box(mask: jnp.ndarray) -> jnp.ndarray:

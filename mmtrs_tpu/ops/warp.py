@@ -327,6 +327,60 @@ def _row_block(n: int) -> int:
     raise ValueError(n)
 
 
+def _warp_shear_params(H, W, a, b, c, d, e_safe, f):
+    """Shared two-pass shear parameters: per-row offsets for the horizontal
+    pass and per-column offsets for the vertical pass."""
+    ys_idx = jnp.arange(H, dtype=jnp.float32)[None, :]
+    xs_idx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    alpha_h = a - b * d / e_safe                     # [B]
+    beta_h = (b / e_safe)[:, None] * ys_idx + (c - b * f / e_safe)[:, None]
+    r_h = jnp.mean(beta_h, axis=1)                   # [B]
+    off_h = beta_h - r_h[:, None]                    # [B, H]
+    beta_v = d[:, None] * xs_idx + f[:, None]        # [B, W]
+    r_v = jnp.mean(beta_v, axis=1)
+    off_v = beta_v - r_v[:, None]                    # [B, W]
+    return alpha_h, r_h, off_h, r_v, off_v
+
+
+def _warp_shear_fused_planes(planes, a, b, c, d, e_safe, f, interpret=False):
+    """Planar-chain twin of :func:`_warp_shear_fused`: input and output are
+    3-tuples of [B,H,W] planes, so the NHWC planarize/interleave passes of
+    the interleaved entry point disappear entirely (round-5 lever: each was
+    a full u8 batch read+write). Same kernels, same offsets, same u8
+    staging rules — per-plane [B·H, W] rows instead of [B·C·H, W]."""
+    from mmtrs_tpu.ops.pallas.shift_kernel import resample_rows_pallas
+
+    B, H, W = planes[0].shape
+    alpha_h, r_h, off_h, r_v, off_v = _warp_shear_params(H, W, a, b, c, d,
+                                                         e_safe, f)
+    u8_ok = (
+        planes[0].dtype == jnp.uint8
+        and _row_block(H) % 32 == 0
+        and _row_block(W) % 32 == 0
+    )
+    mid_dt = jnp.uint8 if u8_ok else jnp.float32
+    out_dt = jnp.uint8 if u8_ok else jnp.float32
+
+    rep_h = lambda v: jnp.broadcast_to(v[:, None], (B, H)).reshape(-1)
+    rep_w = lambda v: jnp.broadcast_to(v[:, None], (B, W)).reshape(-1)
+    off_hr = off_h.reshape(-1)
+    off_vr = off_v.reshape(-1)
+
+    outs = []
+    for p in planes:
+        tmp = resample_rows_pallas(
+            p.reshape(B * H, W), off_hr, rep_h(alpha_h), rep_h(r_h),
+            block_rows=_row_block(H), out_dtype=mid_dt, interpret=interpret,
+        )
+        tmpT = tmp.reshape(B, H, W).transpose(0, 2, 1).reshape(B * W, H)
+        outT = resample_rows_pallas(
+            tmpT, off_vr, rep_w(e_safe), rep_w(r_v),
+            block_rows=_row_block(W), out_dtype=out_dt, interpret=interpret,
+        )
+        outs.append(outT.reshape(B, W, H).transpose(0, 2, 1))
+    return tuple(outs)
+
+
 def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
     """Planar fused two-pass warp: ONE u8 (or f32) planarize, per-pass
     fused shift+interp-matmul Pallas kernels (shift_kernel.
@@ -338,14 +392,9 @@ def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
     from mmtrs_tpu.ops.pallas.shift_kernel import resample_rows_pallas
 
     B, H, W, C = imgs.shape
-    ys_idx = jnp.arange(H, dtype=jnp.float32)[None, :]
-    xs_idx = jnp.arange(W, dtype=jnp.float32)[None, :]
-
-    # horizontal pass params (per row of each image)
-    alpha_h = a - b * d / e_safe                     # [B]
-    beta_h = (b / e_safe)[:, None] * ys_idx + (c - b * f / e_safe)[:, None]
-    r_h = jnp.mean(beta_h, axis=1)                   # [B]
-    off_h = beta_h - r_h[:, None]                    # [B, H]
+    alpha_h, r_h, off_h, r_v, off_v_bw = _warp_shear_params(
+        H, W, a, b, c, d, e_safe, f
+    )
 
     # u8 staging only for uint8 INPUTS (f32 chains may carry arbitrary-range
     # data — e.g. normalized [0,1] images — that a u8 round-trip would
@@ -373,10 +422,8 @@ def _warp_shear_fused(imgs, a, b, c, d, e_safe, f):
 
     # vertical pass: columns become rows
     tmpT = tmp.reshape(B, C, H, W).transpose(0, 1, 3, 2).reshape(B * C * W, H)
-    beta_v = d[:, None] * xs_idx + f[:, None]        # [B, W]
-    r_v = jnp.mean(beta_v, axis=1)
     off_v = jnp.broadcast_to(
-        (beta_v - r_v[:, None])[:, None, :], (B, C, W)
+        off_v_bw[:, None, :], (B, C, W)
     ).reshape(-1)
     repv = lambda v: jnp.broadcast_to(
         v[:, None, None], (B, C, W)

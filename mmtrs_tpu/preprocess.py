@@ -150,6 +150,40 @@ def preprocess_augment_batch(
     from mmtrs_tpu.ops.augment import legacy_geo_mats, legacy_photometrics
     from mmtrs_tpu.ops.resize import crop_warp_fused
 
+    # Planar route (round 5): between the LAB kernels and the final
+    # interleave the batch travels as SEPARATE u8 planes (r, g, b) — no
+    # stage-boundary NHWC↔planar transpose passes. Only on real TPU with
+    # the fused kernels and a built-in saliency segmenter (a custom
+    # Segmenter sees the NHWC contract); the learned Mask R-CNN path and
+    # all XLA fallbacks keep the interleaved layout below.
+    planar_ok = (
+        use_pallas
+        and _lab_fused is not None
+        and _lab_fused_ok(imgs.shape[1], imgs.shape[2], tiles)
+        and segmenter is None
+    )
+    if planar_ok:
+        from mmtrs_tpu.ops.deskew import deskew_batch_planes
+        from mmtrs_tpu.ops.resize import crop_warp_fused_planes
+        from mmtrs_tpu.ops.warp import _fused_resample_ok
+
+        if _fused_resample_ok(out_size, out_size):
+            planes = _lab_fused(imgs, clip=clahe_clip, tiles=tiles,
+                                planar_out=True)
+            if do_rotate:
+                planes, angle = deskew_batch_planes(planes)
+            else:
+                angle = jnp.zeros(planes[0].shape[0])
+            seg = SaliencySegmenter()
+            boxes, valid = seg.propose_boxes_planes(planes)
+            mats = legacy_geo_mats(keys, out_size, out_size)
+            planes = crop_warp_fused_planes(planes, boxes, mats, out_size,
+                                            margin=crop_margin)
+            out = jnp.stack(planes, axis=-1)  # the ONE chain interleave
+            out = legacy_photometrics(out, keys, out_size)
+            return out, {"seg_valid": valid, "deskew_angle": angle,
+                         "boxes": boxes}
+
     x = _clahe_lab_stage(imgs, clahe_clip, tiles, use_pallas)
 
     if do_rotate:

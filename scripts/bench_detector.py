@@ -134,8 +134,14 @@ def main() -> int:
             t0 = time.perf_counter()
             try:
                 _, rate = _bench_config(c, b, args.iters, variants_512)
-            except Exception as e:  # OOM etc. — record and move on
-                sweep[f"{dtype}@{size} b{b}"] = f"failed: {e}"[:120]
+            except Exception as e:  # OOM etc. — record STRUCTURED and move on
+                # no raw tracebacks/ANSI escapes as artifact values
+                # (VERDICT r4 weak #6): first line of the message, stripped
+                msg = str(e).splitlines()[0] if str(e) else type(e).__name__
+                msg = "".join(ch for ch in msg if ch.isprintable())[:100]
+                sweep[f"{dtype}@{size} b{b}"] = {
+                    "error": type(e).__name__, "detail": msg,
+                }
                 continue
             sweep[f"{dtype}@{size} b{b}"] = round(rate, 2)
             print(f"{dtype}@{size} b{b}: {rate:.1f} imgs/s "

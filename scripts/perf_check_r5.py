@@ -46,19 +46,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fetch_scalar(out):
+    leaf = jax.tree.leaves(out)[0]
+    if leaf.ndim >= 2:
+        leaf = leaf[(0,) * (leaf.ndim - 2)][:2, :2]
+    float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
+
 def timeit(name, fn, arg_sets, it=16):
     """Warm-compile, then time `it` async dispatches over rotating distinct
     inputs, fetching ONE reduced scalar at the end (block_until_ready is
     unreliable through the axon tunnel — see verify skill)."""
     t0 = time.perf_counter()
-    out = fn(*arg_sets[0])
-    leaf = jax.tree.leaves(out)[0]
-    float(np.asarray(jnp.sum(leaf[(0,) * max(0, leaf.ndim - 2)][:2, :2].astype(jnp.float32))))
+    _fetch_scalar(fn(*arg_sets[0]))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     outs = [fn(*arg_sets[i % len(arg_sets)]) for i in range(it)]
-    leaf = jax.tree.leaves(outs[-1])[0]
-    float(np.asarray(jnp.sum(leaf[(0,) * max(0, leaf.ndim - 2)][:2, :2].astype(jnp.float32))))
+    _fetch_scalar(outs[-1])
     dt = (time.perf_counter() - t0) / it * 1000
     print(f"{name:44s} {dt:8.2f} ms/batch   [compile {compile_s:.0f}s]", flush=True)
     return dt
@@ -68,9 +72,7 @@ def main() -> int:
     from bench import synth_batch
     from mmtrs_tpu.models.segmenter import SaliencySegmenter
     from mmtrs_tpu.ops.augment import legacy_geo_mats, legacy_photometrics
-    from mmtrs_tpu.ops.deskew import deskew_batch, estimate_skew_angle
-    from mmtrs_tpu.ops.resize import crop_warp_fused
-    from mmtrs_tpu.preprocess import _clahe_lab_stage
+    from mmtrs_tpu.ops.deskew import estimate_skew_angle
     from mmtrs_tpu.utils.rng import keys_for_batch
 
     assert jax.devices()[0].platform == "tpu", "run on the TPU"
@@ -84,23 +86,34 @@ def main() -> int:
     keys = keys_for_batch(42, np.arange(B), np.ones(B))
     seg = SaliencySegmenter()
 
-    # ---- the chain, truncated after stage k (k=1..5); k=5 == bench chain --
+    # ---- the chain, truncated after stage k (k=1..6); k=6 == bench chain --
+    # (round 5: the production TPU chain is PLANAR — stages exchange
+    # (r, g, b) u8 plane tuples; the one interleave is its own stage)
+    from mmtrs_tpu.ops.deskew import deskew_batch_planes
+    from mmtrs_tpu.ops.pallas.lab_kernels import clahe_lab_fused
+    from mmtrs_tpu.ops.resize import crop_warp_fused_planes
+
     def make_prefix(k: int):
         def fn(v):
-            x = _clahe_lab_stage(v, 3.0, (8, 8), True)           # 1 LAB+CLAHE
+            planes = clahe_lab_fused(v, clip=3.0, tiles=(8, 8),
+                                     planar_out=True)            # 1 LAB+CLAHE
             if k == 1:
-                return x
-            x, angle = deskew_batch(x)                            # 2 deskew
+                return planes
+            planes, angle = deskew_batch_planes(planes)           # 2 deskew
             if k == 2:
-                return x
-            boxes, valid = seg.propose_boxes(x)                   # 3 segmenter
+                return planes
+            boxes, valid = seg.propose_boxes_planes(planes)       # 3 segmenter
             if k == 3:
-                return x, boxes
+                return planes[0], boxes
             mats = legacy_geo_mats(keys, S, S)                    # 4 crop∘warp
-            out = crop_warp_fused(x, boxes, mats, S, margin=15.0)
+            planes = crop_warp_fused_planes(planes, boxes, mats, S,
+                                            margin=15.0)
             if k == 4:
+                return planes
+            out = jnp.stack(planes, axis=-1)                      # 5 interleave
+            if k == 5:
                 return out
-            return legacy_photometrics(out, keys, S)              # 5 photometrics
+            return legacy_photometrics(out, keys, S)              # 6 photometrics
         return jax.jit(fn)
 
     args = [(v,) for v in variants]
@@ -109,12 +122,14 @@ def main() -> int:
                    args)
 
     names = ["LAB+CLAHE fused", "deskew", "segmenter", "crop_warp_fused",
-             "legacy_photometrics"]
+             "interleave", "legacy_photometrics"]
     prefix_t = []
-    for k in range(1, 6):
+    for k in range(1, 7):
         prefix_t.append(timeit(f"prefix k={k} (…{names[k-1]})", make_prefix(k), args))
     total = prefix_t[-1]
-    marginals = [prefix_t[0]] + [prefix_t[i] - prefix_t[i - 1] for i in range(1, 5)]
+    marginals = [prefix_t[0]] + [
+        prefix_t[i] - prefix_t[i - 1] for i in range(1, len(prefix_t))
+    ]
 
     print("\n--- prefix-marginal attribution (sums to total by construction) ---")
     for n, m in zip(names, marginals):

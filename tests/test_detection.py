@@ -394,3 +394,19 @@ def test_real_coco_parity():
         assert iou > 0.8, (i, iou, got, ref_top)
         assert abs(float(np.asarray(scores)[i, j]) - float(g[f"scores_{i}"][0])) < 0.05
         assert int(np.asarray(labels)[i, j]) == int(g[f"labels_{i}"][0])
+
+
+def test_box_pre_nms_topk_is_exact(tiny_detector):
+    """Capping the class-aware NMS candidate set by score (round-5
+    box_pre_nms_topk — the 531 MB/image IoU-matrix fix) must not change
+    the detections: greedy NMS keeps ≤ max_detections picks in score
+    order, so any K ≫ D·(suppression depth) candidate cap is exact."""
+    from dataclasses import replace
+
+    model, variables, img = tiny_detector
+    full = model.apply(variables, img)  # TINY flat = 64 ≤ default 512 cap
+
+    capped_cfg = replace(TINY, box_pre_nms_topk=24)
+    capped = MaskRCNN(capped_cfg).apply(variables, img)
+    for a, b in zip(full, capped):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

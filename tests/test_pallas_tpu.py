@@ -197,3 +197,58 @@ def test_legacy_photometrics_fused_vs_ref_wiring():
     assert diff.max() <= 32, diff.max()
     assert (diff == 0).mean() >= 0.999, (diff == 0).mean()
     assert (diff > 1).mean() <= 1e-3, (diff > 1).mean()
+
+
+def test_planar_chain_matches_interleaved_route():
+    """Round-5 planar chain: preprocess_augment_batch's plane-tuple route
+    (taken when use_pallas and segmenter is None) must equal the
+    interleaved Pallas route bit-exactly — the planes carry the same bytes
+    through the same kernels, only the stage-boundary layout differs.
+    Forcing the interleaved route: pass segmenter=SaliencySegmenter()
+    explicitly (a non-None segmenter keeps the NHWC contract)."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.models.segmenter import SaliencySegmenter
+    from mmtrs_tpu.preprocess import preprocess_augment_batch
+    from mmtrs_tpu.utils.rng import keys_for_batch
+
+    rng = np.random.default_rng(11)
+    B, S = 8, 512
+    imgs = jnp.asarray(rng.integers(0, 256, (B, S, S, 3)).astype(np.uint8))
+    keys = keys_for_batch(77, np.arange(B), np.ones(B))
+
+    a, info_a = preprocess_augment_batch(imgs, keys, out_size=S, use_pallas=True)
+    b, info_b = preprocess_augment_batch(
+        imgs, keys, out_size=S, use_pallas=True, segmenter=SaliencySegmenter()
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(info_a["boxes"]), np.asarray(info_b["boxes"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(info_a["deskew_angle"]), np.asarray(info_b["deskew_angle"])
+    )
+
+
+def test_crop_warp_fused_planes_matches_interleaved():
+    """crop_warp_fused_planes == crop_warp_fused per plane (bit-exact: the
+    same resample kernels run per-plane rows instead of stacked rows)."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.models.segmenter import SaliencySegmenter
+    from mmtrs_tpu.ops.augment import legacy_geo_mats
+    from mmtrs_tpu.ops.resize import crop_warp_fused, crop_warp_fused_planes
+    from mmtrs_tpu.utils.rng import keys_for_batch
+
+    rng = np.random.default_rng(13)
+    B, S = 4, 512
+    imgs = jnp.asarray(rng.integers(0, 256, (B, S, S, 3)).astype(np.uint8))
+    keys = keys_for_batch(5, np.arange(B), np.ones(B))
+    boxes, _ = SaliencySegmenter().propose_boxes(imgs)
+    mats = legacy_geo_mats(keys, S, S)
+
+    want = np.asarray(crop_warp_fused(imgs, boxes, mats, S))
+    planes = (imgs[..., 0], imgs[..., 1], imgs[..., 2])
+    got = crop_warp_fused_planes(planes, boxes, mats, S)
+    got = np.stack([np.asarray(p) for p in got], axis=-1)
+    np.testing.assert_array_equal(got, want)

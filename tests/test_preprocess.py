@@ -161,3 +161,44 @@ def test_preprocess_stream_matches_preprocess_numpy():
     assert diff.max() <= 1
     assert (diff == 0).mean() >= 0.9999
     assert out_stream.dtype == np.uint8
+
+
+def test_planar_variants_match_interleaved_cpu():
+    """Planar-chain building blocks agree with their NHWC twins on the XLA
+    (CPU) paths: segmenter planes entry, deskew planes entry (including a
+    firing rotation), and the pytree-generalized subset_apply."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.models.segmenter import SaliencySegmenter
+    from mmtrs_tpu.ops.augment import subset_apply
+    from mmtrs_tpu.ops.deskew import deskew_batch, deskew_batch_planes
+    from tests.synth import synth_images
+
+    imgs = np.stack(synth_images(4, 64, seed=3))
+    # paint a strong diagonal stripe so at least one image's angle fires
+    yy, xx = np.mgrid[0:64, 0:64]
+    stripe = (np.abs(yy - xx) < 3)
+    imgs[0][stripe] = 255
+    x = jnp.asarray(imgs)
+    planes = (x[..., 0], x[..., 1], x[..., 2])
+
+    seg = SaliencySegmenter()
+    b_n, v_n = seg.propose_boxes(x)
+    b_p, v_p = seg.propose_boxes_planes(planes)
+    np.testing.assert_array_equal(np.asarray(b_n), np.asarray(b_p))
+    np.testing.assert_array_equal(np.asarray(v_n), np.asarray(v_p))
+
+    out_n, ang_n = deskew_batch(x)
+    out_p, ang_p = deskew_batch_planes(planes)
+    np.testing.assert_allclose(np.asarray(ang_n), np.asarray(ang_p), atol=1e-4)
+    got = np.stack([np.asarray(p) for p in out_p], axis=-1)
+    np.testing.assert_array_equal(got, np.asarray(out_n))
+
+    # subset_apply: tree form ≡ array form
+    on = jnp.asarray([True, False, True, False])
+    arr_out = subset_apply(lambda s: s + jnp.uint8(1), x, on, 2)
+    tree_out = subset_apply(
+        lambda t: tuple(p + jnp.uint8(1) for p in t), planes, on, 2
+    )
+    got = np.stack([np.asarray(p) for p in tree_out], axis=-1)
+    np.testing.assert_array_equal(got, np.asarray(arr_out))
