@@ -610,3 +610,41 @@ def test_photometrics_fused_uint8_input_matches_oracle_interpret():
     # interpret-mode CPU transcendentals straddle the .5 quantiser boundary
     # slightly more often than on-chip (the TPU test pins 0.9999)
     assert (diff == 0).mean() >= 0.999, (diff == 0).mean()
+
+
+def test_scatter_rows_pallas_interpret():
+    """In-place Pallas row scatter (round 5, subset_apply's scatter-back):
+    indexed rows land bit-exactly, every other row is byte-identical —
+    the aliased destination buffer is never touched there."""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops.pallas.scatter_kernel import (
+        scatter_rows_pallas,
+        scatter_rows_supported,
+    )
+
+    rng = np.random.default_rng(7)
+    dst = jnp.asarray(rng.integers(0, 256, (8, 32, 128, 3)).astype(np.uint8))
+    sub = jnp.asarray(rng.integers(0, 256, (3, 32, 128, 3)).astype(np.uint8))
+    idx = jnp.asarray(np.array([5, 1, 6], np.int32))
+    got = np.asarray(scatter_rows_pallas(dst, sub, idx, interpret=True))
+    want = np.asarray(dst).copy()
+    want[[5, 1, 6]] = np.asarray(sub)
+    np.testing.assert_array_equal(got, want)
+
+    # f32 planes path
+    dstf = jnp.asarray(rng.normal(size=(4, 16, 128)).astype(np.float32))
+    subf = jnp.asarray(rng.normal(size=(2, 16, 128)).astype(np.float32))
+    got = np.asarray(
+        scatter_rows_pallas(dstf, subf, jnp.asarray([3, 0]), interpret=True)
+    )
+    want = np.asarray(dstf).copy()
+    want[[3, 0]] = np.asarray(subf)
+    np.testing.assert_array_equal(got, want)
+
+    # support gate: odd geometries fall back to the XLA scatter
+    assert scatter_rows_supported((8, 32, 128, 3), jnp.uint8)
+    assert scatter_rows_supported((8, 512, 512), jnp.uint8)
+    assert not scatter_rows_supported((8, 33, 128, 3), jnp.uint8)
+    assert not scatter_rows_supported((8, 32, 100), jnp.uint8)
+    assert not scatter_rows_supported((8, 128), jnp.uint8)
