@@ -316,6 +316,18 @@ def subset_apply(op, imgs, on, cap: int, *extras):
         sub = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), imgs)
         sub_out = op(sub, *[jnp.take(e, idx, axis=0) for e in extras])
         keep = on[idx]
+
+        # Scatter-back stays the XLA `.at[idx].set` ON PURPOSE — measured
+        # round 5 (scripts/exp_scatter_r5.py, on-chip b128@512²): the
+        # in-place Pallas row scatter (ops/pallas/scatter_kernel.py,
+        # input_output_aliases) is SLOWER here (gather+scatter 4.37 ms vs
+        # XLA 2.28; full subset op 7.4 vs 5.8) — the alias does not survive
+        # the surrounding graph, so the pallas_call pays a full-batch copy
+        # into its output buffer PLUS per-row DMA scheduling. XLA's scatter
+        # performs the same copy but fuses it better. The standalone-jit
+        # "2.6 ms pure copy" hypothesis (exp_subset_r5.py V4) overstated
+        # production cost: here the operand is an intermediate, not an
+        # undonated program input.
         return jax.tree.map(
             lambda x, s, so: x.at[idx].set(jnp.where(bmask(keep, so), so, s)),
             imgs, sub, sub_out,

@@ -1,4 +1,13 @@
-"""In-place batch-row scatter for subset compaction (round 5).
+"""In-place batch-row scatter via input_output_aliases (round 5).
+
+STATUS — measured NEGATIVE on-chip, NOT wired into subset_apply.
+scripts/exp_scatter_r5.py (v5e, b128@512² u8, cap 39): gather+scatter
+4.37 ms vs XLA `.at[idx].set` 2.28; full subset op 7.4 vs production 5.8.
+The input/output alias does not survive the surrounding jit graph — the
+pallas_call still materializes a full-batch output buffer (copy) and then
+pays per-row DMA scheduling on top. Kept as a documented negative result
+and as the only in-repo example of input_output_aliases + scalar-prefetch
+indexed output blocks; do not re-wire without re-measuring.
 
 ``subset_apply`` (ops/augment.py) compacts the ≤cap firing rows of a batch,
 runs the op on the small sub-batch, and scatters the results back. The

@@ -252,3 +252,49 @@ def test_crop_warp_fused_planes_matches_interleaved():
     got = crop_warp_fused_planes(planes, boxes, mats, S)
     got = np.stack([np.asarray(p) for p in got], axis=-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_subset_apply_on_tpu_matches_reference_semantics():
+    """subset_apply end-to-end on the real device (interleaved + planar
+    pytree routes): fired rows match the full-batch apply on those rows,
+    untouched rows byte-identical. (The Pallas row-scatter variant measured
+    SLOWER on-chip — exp_scatter_r5 — so this pins the production XLA
+    scatter-back path.)"""
+    import jax.numpy as jnp
+
+    from mmtrs_tpu.ops import augment as A
+
+    rng = np.random.default_rng(21)
+    B, S = 16, 128
+    imgs = jnp.asarray(rng.integers(0, 256, (B, S, S, 3)).astype(np.uint8))
+    on = jnp.asarray(rng.random(B) < 0.3)
+    cap = 8
+
+    def op(s):
+        return jnp.clip(s.astype(jnp.int32) + 7, 0, 255).astype(jnp.uint8)
+
+    got = np.asarray(jax.jit(lambda v: A.subset_apply(op, v, on, cap))(imgs))
+
+    want = np.asarray(imgs).copy()
+    fired = np.asarray(on)
+    want[fired] = np.minimum(want[fired].astype(np.int32) + 7, 255).astype(
+        np.uint8
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # planar pytree route (deskew's plane-tuple contract)
+    planes = (imgs[..., 0], imgs[..., 1], imgs[..., 2])
+
+    def op3(ps):
+        return tuple(
+            jnp.clip(p.astype(jnp.int32) + 3, 0, 255).astype(jnp.uint8)
+            for p in ps
+        )
+
+    got3 = jax.jit(lambda ps: A.subset_apply(op3, ps, on, cap))(planes)
+    for c, p in enumerate(got3):
+        wantp = np.asarray(imgs[..., c]).copy()
+        wantp[fired] = np.minimum(
+            wantp[fired].astype(np.int32) + 3, 255
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(np.asarray(p), wantp)
