@@ -5,8 +5,9 @@
 # ITS OWN exit status (PIPESTATUS[0] + pipefail), closing the r4 bug where
 # every step logged tee's rc=0.
 #
-# Usage:  bash scripts/tpu_runbook_r5.sh          # all steps
-#         bash scripts/tpu_runbook_r5.sh bench    # single step
+# Usage:  bash scripts/tpu_runbook_r5.sh                # all steps
+#         bash scripts/tpu_runbook_r5.sh bench          # single step
+#         bash scripts/tpu_runbook_r5.sh probe pallas … # any subset
 set -u -o pipefail
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
@@ -14,7 +15,7 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
 LOG=reports/tpu_runbook_r5.log
 mkdir -p reports
-ONLY="${1:-}"
+ONLY="$*"
 
 run() {
   local name="$1"; shift
@@ -25,7 +26,11 @@ run() {
   return $rc
 }
 
-want() { [ -z "$ONLY" ] || [ "$ONLY" = "$1" ]; }
+want() {
+  [ -z "$ONLY" ] && return 0
+  case " $ONLY " in *" $1 "*) return 0 ;; esac
+  return 1
+}
 
 # 0. recovery probe — cheap, fails fast if the tunnel is dead
 if want probe; then
