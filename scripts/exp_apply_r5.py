@@ -48,27 +48,26 @@ from mmtrs_tpu.ops.pallas.clahe_kernel import (
 )
 
 
-def _apply_kernel_nibble(pix_ref, lut_ref, wq_ref, out_ref, *, th, tw, ty, tx):
+def _apply_kernel_nibble(pix_ref, lutp_ref, wq_ref, out_ref, *, th, tw, ty, tx):
     """Nibble-decomposed apply: per tile ONE [144,16]@[16,area] matmul +
-    an oh_hi-masked reduction, instead of [9,256]@[256,area]."""
+    a tile-repeated hi-mask reduction, instead of [9,256]@[256,area].
+
+    lutp is the LUT pre-reshaped HOST-side to [1, n_tiles, 16, 16]
+    (lutp[t, h, l] = lut[t, 16h+l]) so the kernel only concatenates
+    full-width ref blocks — Mosaic supports neither 2D→3D shape casts nor
+    lane-offset concatenation in-kernel."""
     sub = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     for i in range(ty):
         sel_i = 0 if i == 0 else (2 if i == ty - 1 else 1)
         for j in range(tx):
-            cols = []
+            blocks = []
             for dy in range(3):
                 ci = min(max(i + dy - 1, 0), ty - 1)
                 for dx in range(3):
                     cj = min(max(j + dx - 1, 0), tx - 1)
-                    cols.append(lut_ref[0, ci * tx + cj, 0, :])
-            W = jnp.stack(cols, axis=0)  # [9, 256] f32 (integer-valued)
-            # W' [(h,d), l] = W[d, h*16 + l]  -> [144, 16]
-            Wp = (
-                W.reshape(9, 16, 16)
-                .transpose(1, 0, 2)
-                .reshape(144, 16)
-                .astype(jnp.bfloat16)
-            )
+                    blocks.append(lutp_ref[0, ci * tx + cj, :, :])  # [16,16]
+            # d-major: row d*16+h = LUT_d[16h : 16h+16]
+            Wp = jnp.concatenate(blocks, axis=0).astype(jnp.bfloat16)  # [144,16]
 
             pix = pix_ref[0, i * tx + j, :, :].astype(jnp.int32)  # [1, area]
             oh_hi = ((pix >> 4) == sub).astype(jnp.float32)  # [16, area]
@@ -76,13 +75,18 @@ def _apply_kernel_nibble(pix_ref, lut_ref, wq_ref, out_ref, *, th, tw, ty, tx):
             C = jax.lax.dot_general(
                 Wp, oh_lo, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [144, area] = LUT_d value if hi(p)==h else garbage-for-that-h
-            area = th * tw
+            )  # [144, area]: row d*16+h = LUT_d[16h + lo(pix)]
+            # keep row d*16+h only where hi(pix)==h: the d-major mask is a
+            # legal 9× tile-repeat of oh_hi (row r ↦ oh_hi[r mod 16])
+            Cm = C * pltpu.repeat(oh_hi, 9, axis=0)  # [144, area]
+            # Σ_h within each d block: 9 static 16-row slice sums
+            G = jnp.stack(
+                [jnp.sum(Cm[16 * d:16 * (d + 1), :], axis=0) for d in range(9)],
+                axis=0,
+            )  # [9, area] = LUT_d[pix]
             sel_j = 0 if j == 0 else (2 if j == tx - 1 else 1)
             wq = wq_ref[sel_i, sel_j]  # [9, area]
-            # result[p] = Σ_h oh_hi[h,p] Σ_d wq[d,p]·C[h*9+d, p]
-            Cw = C.reshape(16, 9, area) * wq[None, :, :]
-            res = jnp.sum(jnp.sum(Cw, axis=1) * oh_hi, axis=0, keepdims=True)
+            res = jnp.sum(G * wq, axis=0, keepdims=True)
             if out_ref.dtype == jnp.uint8:
                 res = (
                     jnp.clip(res, 0.0, 255.0) + 0.5
@@ -123,13 +127,18 @@ def clahe_pallas_nibble(l, clip=3.0, tiles=(8, 8), interpret=False,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(tiled)
+    # host-side (XLA) nibble relayout: lutp[b, t, h, l] = lut[b, t, 0, 16h+l]
+    lutp = lut.reshape(B, n_tiles, 16, 16)
+    lutp_block = pl.BlockSpec(
+        (1, n_tiles, 16, 16), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     out_tiled = pl.pallas_call(
         partial(_apply_kernel_nibble, th=th, tw=tw, ty=ty, tx=tx),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, area), out_dtype),
         grid=(B,),
         in_specs=[
             img_block,
-            lut_block,
+            lutp_block,
             pl.BlockSpec(
                 (3, 3, 9, area), lambda b: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -138,7 +147,7 @@ def clahe_pallas_nibble(l, clip=3.0, tiles=(8, 8), interpret=False,
         out_specs=img_block,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(tiled, lut, wq)
+    )(tiled, lutp, wq)
     return (
         out_tiled.reshape(B, ty, tx, th, tw)
         .transpose(0, 1, 3, 2, 4)
